@@ -1,0 +1,359 @@
+"""FRI low-degree proof protocol (commit / fold / query / verify).
+
+Protocol and transcript semantics match the reference exactly
+(reference: fri.rs:28-417):
+
+* per round the prover Merkle-commits the codeword (hex root in the
+  transcript), samples alpha = sample(Shake256-FS 32B), and folds
+      c'_i = 1/2 * [ (1 + alpha/(offset*omega^i)) * c_i
+                   + (1 - alpha/(offset*omega^i)) * c_{i + N/2} ]
+* the last codeword goes into the transcript as JSON
+* query indices come from Blake2b-512(seed || counter_le_u64) folded mod
+  size, deduplicated by (index mod reduced_size)
+* colinearity points travel as decimal-string triples, auth paths as JSON
+
+Compute backend: the fold and the inverse table are batched (device kernels
+in :mod:`stark_tpu.ops` when a backend is attached, pure host otherwise).
+Unlike the reference's per-element `alpha / (offset*omega^i)` division (two
+extended-Euclid inversions per element, fri.rs:136), the fold uses a
+precomputed table of (offset*omega^i)^{-1} built from one inversion via a
+running-product, and the device path evaluates the fold as one elementwise
+kernel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from .field import FieldElement
+from .hashing import blake2b_512
+from .merkle import MerkleTree, verify as merkle_verify
+from .params import P
+from .poly import Polynomial
+from .proof_stream import ProofStream
+from .serialization import (
+    bincode_field_element,
+    json_field_element_vec,
+    json_hash_path,
+    json_parse_field_element_vec,
+    json_parse_hash_path,
+    json_parse_string_triple,
+    json_string_triple,
+)
+
+_U64_MASK = (1 << 64) - 1
+
+
+def sample_index(byte_array: bytes, size: int) -> int:
+    """Big-endian byte fold with 64-bit wraparound, mod size
+    (reference: fri.rs:81-87 — `usize` arithmetic wraps at 2^64)."""
+    acc = 0
+    for b in byte_array:
+        acc = ((acc << 8) ^ b) & _U64_MASK
+    return acc % size
+
+
+def sample_indices(
+    seed: bytes, size: int, reduced_size: int, number: int
+) -> List[int]:
+    """Blake2b-512(seed || counter) index stream, deduplicated by reduced
+    index (reference: fri.rs:54-78)."""
+    indices: List[int] = []
+    reduced_indices: List[int] = []
+    counter = 0
+    while len(indices) < number:
+        digest = blake2b_512(seed + counter.to_bytes(8, "little"))
+        index = sample_index(digest, size)
+        reduced = index % reduced_size
+        counter += 1
+        if reduced not in reduced_indices:
+            indices.append(index)
+            reduced_indices.append(reduced)
+    return indices
+
+
+def _serialize_leaves(codeword: Sequence[int]) -> List[bytes]:
+    return [bincode_field_element(c) for c in codeword]
+
+
+def _inverse_table(offset: int, omega: int, half: int) -> List[int]:
+    """[(offset * omega^i)^{-1} for i < half] via a single inversion."""
+    xs = [0] * half
+    cur = offset % P
+    for i in range(half):
+        xs[i] = cur
+        cur = cur * omega % P
+    # batch inversion (Montgomery's trick)
+    prefix = [1] * (half + 1)
+    for i in range(half):
+        prefix[i + 1] = prefix[i] * xs[i] % P
+    inv_all = pow(prefix[half], -1, P)
+    out = [0] * half
+    for i in range(half - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % P
+        inv_all = inv_all * xs[i] % P
+    return out
+
+
+class Fri:
+    """FRI prover/verifier over the coset {offset * omega^i}."""
+
+    def __init__(
+        self,
+        offset: FieldElement,
+        omega: FieldElement,
+        initial_domain_length: int,
+        expansion_factor: int,
+        num_colinearity_tests: int,
+        backend=None,
+    ) -> None:
+        self.offset = offset
+        self.omega = omega
+        self.domain_length = initial_domain_length
+        self.expansion_factor = expansion_factor
+        self.num_colinearity_tests = num_colinearity_tests
+        self.backend = backend
+        if self.num_rounds() < 1:
+            raise ValueError("cannot do FRI with less than 1 round")
+
+    def num_rounds(self) -> int:
+        """Halve while len > expansion and 4*tests < len
+        (reference: fri.rs:39-51)."""
+        codeword_length = self.domain_length
+        num = 0
+        while (
+            codeword_length > self.expansion_factor
+            and 4 * self.num_colinearity_tests < codeword_length
+        ):
+            codeword_length //= 2
+            num += 1
+        return num
+
+    def eval_domain(self) -> List[FieldElement]:
+        """The coset {offset * omega^i} (reference: fri.rs:90-97)."""
+        out = []
+        cur = self.offset.value % P
+        w = self.omega.value % P
+        for _ in range(self.domain_length):
+            out.append(FieldElement(cur))
+            cur = cur * w % P
+        return out
+
+    # -- prover -----------------------------------------------------------
+
+    def _fold(
+        self, codeword: List[int], alpha: int, offset: int, omega: int
+    ) -> List[int]:
+        half = len(codeword) // 2
+        if self.backend is not None and half >= 256:
+            return self.backend.fri_fold(codeword, alpha, offset, omega)
+        inv = _inverse_table(offset, omega, half)
+        two_inv = pow(2, -1, P)
+        out = [0] * half
+        for i in range(half):
+            ai = alpha * inv[i] % P
+            out[i] = (
+                two_inv
+                * ((1 + ai) * codeword[i] + (1 - ai) * codeword[half + i])
+                % P
+            )
+        return out
+
+    def commit(
+        self, codeword: List[int], proof_stream: ProofStream
+    ) -> Tuple[List[List[int]], List[MerkleTree]]:
+        """Commit phase: per-round Merkle root + fold
+        (reference: fri.rs:100-152).  Also returns the per-round trees so
+        the query phase can open leaves without re-hashing."""
+        omega = self.omega.value % P
+        offset = self.offset.value % P
+        codewords: List[List[int]] = []
+        trees: List[MerkleTree] = []
+        rounds = self.num_rounds()
+        for r in range(rounds):
+            n = len(codeword)
+            # omega must have order n (reference: fri.rs:116)
+            assert pow(omega, n - 1, P) == pow(omega, -1, P), (
+                "error in commit: omega does not have the right order"
+            )
+            tree = MerkleTree(_serialize_leaves(codeword))
+            trees.append(tree)
+            proof_stream.push(tree.root.hex())
+
+            if r == rounds - 1:
+                break
+
+            alpha = FieldElement.sample(proof_stream.prover_fiat_shamir(32)).value
+            codewords.append(codeword)
+            codeword = self._fold(codeword, alpha, offset, omega)
+            omega = omega * omega % P
+            offset = offset * offset % P
+
+        proof_stream.push(json_field_element_vec(codeword))
+        codewords.append(codeword)
+        return codewords, trees
+
+    def query(
+        self,
+        current_tree: MerkleTree,
+        next_tree: MerkleTree,
+        current_codeword: List[int],
+        next_codeword: List[int],
+        c_indices: List[int],
+        proof_stream: ProofStream,
+    ) -> List[int]:
+        """Reveal colinearity points + auth paths for one round boundary
+        (reference: fri.rs:155-209)."""
+        half = len(current_codeword) // 2
+        a_indices = list(c_indices)
+        b_indices = [idx + half for idx in c_indices]
+
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(
+                json_string_triple(
+                    str(current_codeword[a_indices[s]]),
+                    str(current_codeword[b_indices[s]]),
+                    str(next_codeword[c_indices[s]]),
+                )
+            )
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(json_hash_path(current_tree.open(a_indices[s])))
+            proof_stream.push(json_hash_path(current_tree.open(b_indices[s])))
+            proof_stream.push(json_hash_path(next_tree.open(c_indices[s])))
+
+        return a_indices + b_indices
+
+    def prove(self, codeword: Sequence, proof_stream: ProofStream) -> List[int]:
+        """Full FRI proof; returns the top-level a+b indices
+        (reference: fri.rs:212-254)."""
+        codeword = [
+            c.value if isinstance(c, FieldElement) else c % P for c in codeword
+        ]
+        codewords, trees = self.commit(codeword, proof_stream)
+
+        top_level_indices = sample_indices(
+            proof_stream.prover_fiat_shamir(32),
+            len(codewords[0]) // 2,
+            len(codewords[-1]),
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+
+        for i in range(len(codewords) - 1):
+            half = len(codewords[i]) // 2
+            indices = [idx % half for idx in indices]
+            indices = self.query(
+                trees[i],
+                trees[i + 1],
+                codewords[i],
+                codewords[i + 1],
+                indices,
+                proof_stream,
+            )
+
+        a_indices = list(top_level_indices)
+        b_indices = [idx + len(codewords[0]) // 2 for idx in top_level_indices]
+        return a_indices + b_indices
+
+    # -- verifier ---------------------------------------------------------
+
+    def verify(
+        self,
+        proof_stream: ProofStream,
+        polynomial_values: List[Tuple[int, FieldElement]],
+    ) -> bool:
+        """Verify a FRI transcript; fills ``polynomial_values`` with the
+        top-level (index, value) pairs (reference: fri.rs:256-417)."""
+        omega = self.omega.value % P
+        offset = self.offset.value % P
+        rounds = self.num_rounds()
+
+        roots: List[str] = []
+        alphas: List[int] = []
+        for _ in range(rounds):
+            roots.append(proof_stream.pull())
+            alphas.append(
+                FieldElement.sample(proof_stream.verifier_fiat_shamir(32)).value
+            )
+
+        last_codeword = [fe.value for fe in json_parse_field_element_vec(proof_stream.pull())]
+
+        # last codeword must match the last committed root
+        if roots[-1] != MerkleTree(_serialize_leaves(last_codeword)).root.hex():
+            return False
+
+        # low-degree check on the last codeword
+        degree = len(last_codeword) // self.expansion_factor - 1
+        last_omega, last_offset = omega, offset
+        for _ in range(rounds - 1):
+            last_omega = last_omega * last_omega % P
+            last_offset = last_offset * last_offset % P
+        assert pow(last_omega, -1, P) == pow(last_omega, len(last_codeword) - 1, P)
+
+        last_domain = []
+        cur = last_offset
+        for _ in range(len(last_codeword)):
+            last_domain.append(cur)
+            cur = cur * last_omega % P
+        poly = Polynomial.lagrange(last_domain, last_codeword)
+        if [fe.value for fe in poly.eval_domain(last_domain)] != last_codeword:
+            return False
+        if poly.degree() > degree:
+            return False
+
+        top_level_indices = sample_indices(
+            proof_stream.verifier_fiat_shamir(32),
+            self.domain_length >> 1,
+            self.domain_length >> (rounds - 1),
+            self.num_colinearity_tests,
+        )
+
+        for r in range(rounds - 1):
+            half = self.domain_length >> (r + 1)
+            c_indices = [idx % half for idx in top_level_indices]
+            a_indices = list(c_indices)
+            b_indices = [idx + half for idx in c_indices]
+
+            aa: List[int] = []
+            bb: List[int] = []
+            cc: List[int] = []
+            for s in range(self.num_colinearity_tests):
+                ay_s, by_s, cy_s = json_parse_string_triple(proof_stream.pull())
+                ay, by, cy = int(ay_s) % P, int(by_s) % P, int(cy_s) % P
+                aa.append(ay)
+                bb.append(by)
+                cc.append(cy)
+
+                if r == 0:
+                    polynomial_values.append((a_indices[s], FieldElement(ay)))
+                    polynomial_values.append((b_indices[s], FieldElement(by)))
+
+                ax = offset * pow(omega, a_indices[s], P) % P
+                bx = offset * pow(omega, b_indices[s], P) % P
+                cx = alphas[r]
+                if not Polynomial.test_colinearity([(ax, ay), (bx, by), (cx, cy)]):
+                    return False
+
+            for i in range(self.num_colinearity_tests):
+                root_bytes = bytes.fromhex(roots[r])
+                next_root_bytes = bytes.fromhex(roots[r + 1])
+                path = json_parse_hash_path(proof_stream.pull())
+                if not merkle_verify(
+                    root_bytes, a_indices[i], path, bincode_field_element(aa[i])
+                ):
+                    return False
+                path = json_parse_hash_path(proof_stream.pull())
+                if not merkle_verify(
+                    root_bytes, b_indices[i], path, bincode_field_element(bb[i])
+                ):
+                    return False
+                path = json_parse_hash_path(proof_stream.pull())
+                if not merkle_verify(
+                    next_root_bytes, c_indices[i], path, bincode_field_element(cc[i])
+                ):
+                    return False
+
+            omega = omega * omega % P
+            offset = offset * offset % P
+
+        return True

@@ -1,0 +1,196 @@
+"""Multivariate polynomials over GF(p) (host-side; AIR description language).
+
+Sparse dict representation: {exponent-vector (tuple of ints): coefficient
+(canonical residue int)} — same model as the reference
+(reference: multivariate_poly.rs:23-26).  AIRs are tiny (the Rescue-Prime AIR
+has 2 polynomials in 5 variables of total degree 3 with <= ~60 terms), so
+this stays on the host; the heavy lifting happens after symbolic evaluation
+produces univariate polynomials / codewords.
+
+Exponent vectors of differing lengths may coexist (the reference's Add/Mul
+pad implicitly); ``eval`` ignores exponent entries beyond the point length,
+matching the reference (multivariate_poly.rs:48-51).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple, Union
+
+from .field import FieldElement
+from .poly import Polynomial
+from .params import P
+
+CoeffLike = Union[int, FieldElement]
+Exponents = Tuple[int, ...]
+
+
+def _to_int(x: CoeffLike) -> int:
+    return x.value if isinstance(x, FieldElement) else x % P
+
+
+class MPolynomial:
+    """Sparse multivariate polynomial."""
+
+    __slots__ = ("dict",)
+
+    def __init__(self, terms: Dict[Sequence[int], CoeffLike] = None) -> None:
+        self.dict: Dict[Exponents, int] = {}
+        if terms:
+            for k, v in terms.items():
+                self.dict[tuple(k)] = _to_int(v)
+
+    # -- constructors -----------------------------------------------------
+
+    @staticmethod
+    def zero() -> "MPolynomial":
+        return MPolynomial()
+
+    @staticmethod
+    def constant(c: CoeffLike) -> "MPolynomial":
+        return MPolynomial({(0,): _to_int(c)})
+
+    @staticmethod
+    def variables(num_variables: int) -> List["MPolynomial"]:
+        """[x_0, ..., x_{n-1}] as n-variable polynomials
+        (reference: multivariate_poly.rs:113-130)."""
+        out = []
+        for i in range(num_variables):
+            exps = [0] * num_variables
+            exps[i] = 1
+            out.append(MPolynomial({tuple(exps): 1}))
+        return out
+
+    @staticmethod
+    def lift(poly: Polynomial, variable_index: int) -> "MPolynomial":
+        """Lift a univariate polynomial into variable `variable_index`
+        (reference: multivariate_poly.rs:133-146)."""
+        if poly.is_zero():
+            return MPolynomial.zero()
+        acc = MPolynomial.zero()
+        n = variable_index + 1
+        for i, c in enumerate(poly.coeffs):
+            if c == 0 and i != 0:
+                continue
+            exps = [0] * n
+            exps[variable_index] = i
+            # mirror the reference's term-by-term accumulation, which keeps a
+            # (0,) constant key for degree-0 terms via MPolynomial::constant
+            key = (0,) if i == 0 else tuple(exps)
+            acc = acc + MPolynomial({key: c})
+        return acc
+
+    # -- predicates -------------------------------------------------------
+
+    def is_zero(self) -> bool:
+        return all(v == 0 for v in self.dict.values())
+
+    def num_variables(self) -> int:
+        return max((len(k) for k in self.dict), default=0)
+
+    # -- evaluation -------------------------------------------------------
+
+    def eval(self, point: Sequence[CoeffLike]) -> FieldElement:
+        """Evaluate at a point of field elements
+        (reference: multivariate_poly.rs:42-72)."""
+        pt = [_to_int(x) for x in point]
+        acc = 0
+        for exps, coeff in self.dict.items():
+            prod = coeff
+            for i, e in enumerate(exps):
+                if i >= len(pt):
+                    continue
+                if e:
+                    prod = prod * pow(pt[i], e, P) % P
+            acc = (acc + prod) % P
+        return FieldElement(acc)
+
+    def eval_symbolic(self, point: Sequence[Polynomial]) -> Polynomial:
+        """Substitute univariate polynomials for the variables
+        (reference: multivariate_poly.rs:75-88)."""
+        acc = Polynomial.zero()
+        for exps, coeff in self.dict.items():
+            prod = Polynomial.constant(coeff)
+            for i, e in enumerate(exps):
+                prod = prod * point[i].pow(e)
+            acc = acc + prod
+        return acc
+
+    # -- algebra ----------------------------------------------------------
+
+    def pow(self, exponent: int) -> "MPolynomial":
+        """Exponentiation by squaring (reference: multivariate_poly.rs:91-108)."""
+        if self.is_zero():
+            return MPolynomial.zero()
+        if exponent == 0:
+            return MPolynomial.constant(1)
+        nvars = len(next(iter(self.dict)))
+        acc = MPolynomial({tuple([0] * nvars): 1})
+        for bit in bin(exponent)[2:]:
+            acc = acc * acc
+            if bit == "1":
+                acc = acc * self
+        return acc
+
+    def __add__(self, other: "MPolynomial") -> "MPolynomial":
+        out = MPolynomial()
+        out.dict = dict(self.dict)
+        for k, v in other.dict.items():
+            out.dict[k] = (out.dict.get(k, 0) + v) % P
+        return out
+
+    def __sub__(self, other: "MPolynomial") -> "MPolynomial":
+        return self + (-other)
+
+    def __neg__(self) -> "MPolynomial":
+        out = MPolynomial()
+        out.dict = {k: (-v) % P for k, v in self.dict.items()}
+        return out
+
+    def __mul__(self, other: "MPolynomial") -> "MPolynomial":
+        out: Dict[Exponents, int] = {}
+        for ka, va in self.dict.items():
+            if va == 0:
+                continue
+            for kb, vb in other.dict.items():
+                if vb == 0:
+                    continue
+                # pad the shorter exponent vector (reference:
+                # multivariate_poly.rs:211-221)
+                if len(ka) >= len(kb):
+                    key = list(ka)
+                    for i, e in enumerate(kb):
+                        key[i] += e
+                else:
+                    key = list(kb)
+                    for i, e in enumerate(ka):
+                        key[i] += e
+                key = tuple(key)
+                out[key] = (out.get(key, 0) + va * vb) % P
+        res = MPolynomial()
+        res.dict = out
+        return res
+
+    # -- dunder plumbing --------------------------------------------------
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, MPolynomial):
+            return NotImplemented
+
+        def norm(d: Dict[Exponents, int]) -> Dict[Exponents, int]:
+            out = {}
+            for k, v in d.items():
+                if v == 0:
+                    continue
+                kk = list(k)
+                while kk and kk[-1] == 0:
+                    kk.pop()
+                out[tuple(kk)] = v
+            return out
+
+        return norm(self.dict) == norm(other.dict)
+
+    def __hash__(self) -> int:  # pragma: no cover - not used as dict key
+        return hash(frozenset(self.dict.items()))
+
+    def __repr__(self) -> str:
+        return f"MPolynomial({self.dict})"

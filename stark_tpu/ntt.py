@@ -1,0 +1,174 @@
+"""Host-side radix-2 NTT over GF(p) (golden model).
+
+Computes the same transform as the reference (reference: ntt.rs:25-107):
+``forward`` maps coefficients (lowest-first) to evaluations at consecutive
+powers of omega, i.e. the DFT X[k] = sum_j a[j] * omega^{j*k};
+``inverse`` is the inverse DFT with the 1/n scaling.
+
+Beyond the reference, this module adds *coset* evaluate/interpolate —
+evaluation over {offset * omega^i} — which is the fast path the TPU prover
+uses for all Reed-Solomon extensions (the reference falls back to per-point
+Horner evaluation on coset domains, its hottest loop; see
+reference: univariate_poly.rs:44-54 and fri.rs:90-97).
+
+The device (JAX) NTT lives in :mod:`stark_tpu.ops.ntt`; this implementation
+defines the semantics it is tested against.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Sequence
+
+from .field import FieldElement
+from .params import P, TWO_ADICITY
+
+
+@lru_cache(maxsize=64)
+def _root_of_unity(n: int) -> int:
+    return FieldElement.primitive_nth_root(n).value
+
+
+@lru_cache(maxsize=64)
+def _twiddles(n: int, inverse: bool) -> tuple:
+    """Per-stage twiddle tables for an iterative DIT NTT of size n."""
+    omega = _root_of_unity(n)
+    if inverse:
+        omega = pow(omega, -1, P)
+    stages = []
+    length = 2
+    while length <= n:
+        w = pow(omega, n // length, P)
+        row = [1] * (length // 2)
+        for j in range(1, length // 2):
+            row[j] = row[j - 1] * w % P
+        stages.append(tuple(row))
+        length *= 2
+    return tuple(stages)
+
+
+def _bit_reverse_permute(a: List[int]) -> None:
+    n = len(a)
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j ^= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+
+
+def _ntt_in_place(a: List[int], inverse: bool) -> None:
+    n = len(a)
+    if n <= 1:
+        return
+    _bit_reverse_permute(a)
+    stages = _twiddles(n, inverse)
+    length = 2
+    s = 0
+    while length <= n:
+        half = length // 2
+        row = stages[s]
+        for i in range(0, n, length):
+            for j in range(half):
+                u = a[i + j]
+                v = a[i + j + half] * row[j] % P
+                a[i + j] = (u + v) % P
+                a[i + j + half] = (u - v) % P
+        length *= 2
+        s += 1
+
+
+class NTT:
+    """Number-theoretic transform of a fixed power-of-two size n <= 2^30.
+
+    Mirrors the reference API (reference: ntt.rs:12-135) but operates on
+    lists of canonical residues (Python ints), lowest-degree-first.
+    """
+
+    def __init__(self, n: int) -> None:
+        if n & (n - 1) != 0 or n <= 0:
+            raise ValueError("NTT size must be a power of 2")
+        if n > (1 << 30):
+            raise ValueError("NTT size too large")
+        self.n = n
+        self.omega = FieldElement(_root_of_unity(n))
+        self.omega_inv = self.omega.inverse()
+
+    def forward(self, coeffs: Sequence[int]) -> List[int]:
+        """Coefficients -> evaluations at {omega^i}."""
+        if len(coeffs) != self.n:
+            raise ValueError("input size must match NTT size")
+        a = [c % P for c in coeffs]
+        _ntt_in_place(a, inverse=False)
+        return a
+
+    def inverse(self, evals: Sequence[int]) -> List[int]:
+        """Evaluations at {omega^i} -> coefficients (with 1/n scaling)."""
+        if len(evals) != self.n:
+            raise ValueError("input size must match NTT size")
+        a = [e % P for e in evals]
+        _ntt_in_place(a, inverse=True)
+        n_inv = pow(self.n, -1, P)
+        return [x * n_inv % P for x in a]
+
+    def evaluate(self, coefficients: Sequence[int]) -> List[int]:
+        """Zero-pad to n and transform (reference: ntt.rs:101-107)."""
+        a = list(coefficients) + [0] * (self.n - len(coefficients))
+        return self.forward(a)
+
+    def interpolate(self, evaluations: Sequence[int]) -> List[int]:
+        return self.inverse(evaluations)
+
+    # -- coset extensions (TPU fast path; not in the reference) -----------
+
+    def coset_evaluate(self, coefficients: Sequence[int], offset: int) -> List[int]:
+        """Evaluate at {offset * omega^i}: scale coeff j by offset^j, then NTT."""
+        a = list(coefficients) + [0] * (self.n - len(coefficients))
+        scale = 1
+        for j in range(self.n):
+            if j:
+                scale = scale * offset % P
+                a[j] = a[j] * scale % P
+        return self.forward(a)
+
+    def coset_interpolate(self, evaluations: Sequence[int], offset: int) -> List[int]:
+        """Inverse of :meth:`coset_evaluate`."""
+        a = self.inverse(evaluations)
+        inv = pow(offset, -1, P)
+        scale = 1
+        for j in range(self.n):
+            if j:
+                scale = scale * inv % P
+                a[j] = a[j] * scale % P
+        return a
+
+    def multiply(self, a: Sequence[int], b: Sequence[int]) -> List[int]:
+        """Polynomial product via pointwise multiplication
+        (reference: ntt.rs:110-135)."""
+        result_size = len(a) + len(b) - 1
+        ntt_size = 1 << (result_size - 1).bit_length()
+        sub = NTT(ntt_size)
+        fa = sub.evaluate(a)
+        fb = sub.evaluate(b)
+        prod = [x * y % P for x, y in zip(fa, fb)]
+        out = sub.inverse(prod)
+        return out[:result_size]
+
+
+def poly_multiply(a: Sequence[int], b: Sequence[int]) -> List[int]:
+    """Product of two coefficient lists (lowest-first), NTT for large sizes."""
+    if not a or not b:
+        return []
+    if min(len(a), len(b)) <= 32:
+        res = [0] * (len(a) + len(b) - 1)
+        for i, ca in enumerate(a):
+            if ca == 0:
+                continue
+            for j, cb in enumerate(b):
+                res[i + j] = (res[i + j] + ca * cb) % P
+        return res
+    result_size = len(a) + len(b) - 1
+    return NTT(1 << (result_size - 1).bit_length()).multiply(a, b)

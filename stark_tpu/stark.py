@@ -1,0 +1,426 @@
+"""STARK prover and verifier.
+
+Pipeline (reference: stark.rs:223-471 prove, :474-723 verify):
+
+  trace (+ randomizer rows) -> trace polynomials -> boundary quotients
+  -> Merkle commitments -> transition polynomials (symbolic AIR eval)
+  -> transition quotients -> randomizer polynomial -> weighted combination
+  -> FRI low-degree proof -> leaf openings.
+
+All degree bookkeeping reproduces the reference exactly, including its
+quirks, because the bookkeeping feeds the x^shift terms and therefore the
+transcript:
+
+* ``transition_degree_bounds`` builds a point-degree vector of length
+  1 + 2*num_randomizers but zips it against the 5-entry exponent vectors,
+  truncating (reference: stark.rs:143-167) — semantically the vector is
+  [1] + [randomized_trace_degree] * 2m;
+* ``max_degree`` is (next power of two of the max quotient bound) - 1
+  (reference: stark.rs:191-202);
+* the zero polynomial reports degree 0 (see :mod:`stark_tpu.poly`).
+
+Performance: Reed-Solomon extensions of all committed polynomials run
+through the coset NTT (see :meth:`stark_tpu.poly.Polynomial.eval_domain`),
+not per-point Horner like the reference's hottest loop
+(reference: stark.rs:291-298); Merkle trees are built once and reused for
+all openings; the verifier hoists loop-invariant AIR data.  When a device
+backend is attached (:mod:`stark_tpu.ops.backend`), codeword construction,
+folding, and hashing fan out to the TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .field import FieldElement
+from .fri import Fri
+from .hashing import blake2b_256
+from .merkle import MerkleTree, verify as merkle_verify
+from .mpoly import MPolynomial
+from .params import P, TRANSITION_CONSTRAINTS_DEGREE
+from .poly import Polynomial
+from .proof_stream import ProofStream
+from .rng import RandomBytes, os_random_bytes
+from .serialization import (
+    bincode_field_element,
+    json_field_element,
+    json_hash_path,
+    json_parse_field_element,
+    json_parse_hash_path,
+)
+
+BoundaryCondition = Tuple[int, int, FieldElement]
+
+
+class Stark:
+    """STARK prover/verifier for one AIR instance shape."""
+
+    def __init__(
+        self,
+        expansion_factor: int,
+        num_colinearity_tests: int,
+        security_level: int,
+        num_registers: int,
+        original_trace_length: int,
+        backend=None,
+        rng: RandomBytes = os_random_bytes,
+    ) -> None:
+        if expansion_factor & (expansion_factor - 1):
+            raise ValueError("expansion factor must be a power of 2")
+        self.expansion_factor = expansion_factor
+        self.num_colinearity_tests = num_colinearity_tests
+        # stored but unused, as in the reference (stark.rs:21)
+        self.security_level = security_level
+        self.num_registers = num_registers
+        self.original_trace_length = original_trace_length
+        self.backend = backend
+        self.rng = rng
+
+        self.num_randomizers = 4 * num_colinearity_tests
+        randomized_trace_length = original_trace_length + self.num_randomizers
+        product = randomized_trace_length * TRANSITION_CONSTRAINTS_DEGREE
+        omicron_domain_length = 1 << product.bit_length()
+        self.omicron_domain_length = omicron_domain_length
+        self.fri_domain_length = omicron_domain_length * expansion_factor
+
+        self.omega = FieldElement.primitive_nth_root(self.fri_domain_length)
+        self.omicron = FieldElement.primitive_nth_root(omicron_domain_length)
+        self.omicron_domain = [
+            self.omicron.pow(i) for i in range(omicron_domain_length)
+        ]
+        self.generator = FieldElement.generator()
+
+        self.fri = Fri(
+            self.generator,
+            self.omega,
+            self.fri_domain_length,
+            expansion_factor,
+            num_colinearity_tests,
+            backend=backend,
+        )
+
+    # ------------------------------------------------------------------
+    # degree bookkeeping (reference: stark.rs:89-220)
+    # ------------------------------------------------------------------
+
+    def boundary_zeroifiers(
+        self, boundary: Sequence[BoundaryCondition]
+    ) -> List[Polynomial]:
+        zeroifiers = []
+        for s in range(self.num_registers):
+            points = [self.omicron.pow(c) for (c, r, v) in boundary if r == s]
+            zeroifiers.append(Polynomial.zeroifier_domain(points))
+        return zeroifiers
+
+    def boundary_interpolants(
+        self, boundary: Sequence[BoundaryCondition]
+    ) -> List[Polynomial]:
+        interpolants = []
+        for s in range(self.num_registers):
+            domain = [self.omicron.pow(c) for (c, r, v) in boundary if r == s]
+            values = [v for (c, r, v) in boundary if r == s]
+            interpolants.append(Polynomial.lagrange(domain, values))
+        return interpolants
+
+    def transition_zeroifier(self) -> Polynomial:
+        """prod (x - omicron^i) for i < original_trace_length - 1
+        (reference: stark.rs:134-137)."""
+        domain = self.omicron_domain[: self.original_trace_length - 1]
+        return Polynomial.zeroifier_domain(domain)
+
+    def transition_degree_bounds(
+        self, transition_constraints: Sequence[MPolynomial]
+    ) -> List[int]:
+        point_degrees = [1] + [
+            self.original_trace_length + self.num_randomizers - 1
+        ] * (2 * self.num_randomizers)
+        maxes = []
+        for a in transition_constraints:
+            sums = []
+            for exps in a.dict:
+                # zip truncates to the shorter sequence, as in the reference
+                total = sum(r * l for r, l in zip(point_degrees, exps))
+                sums.append(total)
+            maxes.append(max(sums))
+        return maxes
+
+    def transition_quotient_degree_bounds(
+        self, transition_constraints: Sequence[MPolynomial]
+    ) -> List[int]:
+        return [
+            d - (self.original_trace_length - 1)
+            for d in self.transition_degree_bounds(transition_constraints)
+        ]
+
+    def boundary_quotient_degree_bounds(
+        self, randomized_trace_length: int, boundary: Sequence[BoundaryCondition]
+    ) -> List[int]:
+        randomized_trace_degree = randomized_trace_length - 1
+        return [
+            randomized_trace_degree - bz.degree()
+            for bz in self.boundary_zeroifiers(boundary)
+        ]
+
+    def max_degree(self, transition_constraints: Sequence[MPolynomial]) -> int:
+        md = max(self.transition_quotient_degree_bounds(transition_constraints))
+        if md == 0:
+            return 0
+        return (1 << md.bit_length()) - 1
+
+    def sample_weights(self, number: int, randomness: bytes) -> List[FieldElement]:
+        """Blake2b-256(randomness || i_le_u64) -> sample
+        (reference: stark.rs:205-220)."""
+        return [
+            FieldElement.sample(blake2b_256(randomness + i.to_bytes(8, "little")))
+            for i in range(number)
+        ]
+
+    # ------------------------------------------------------------------
+    # prover (reference: stark.rs:223-471)
+    # ------------------------------------------------------------------
+
+    def prove(
+        self,
+        trace: Sequence[Sequence[FieldElement]],
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Sequence[BoundaryCondition],
+    ) -> bytes:
+        proof_stream = ProofStream()
+        trace = [list(row) for row in trace]
+
+        # append randomizer rows (ZK; reference: stark.rs:237-253)
+        for _ in range(self.num_randomizers):
+            trace.append(
+                [
+                    FieldElement.sample(self.rng(17))
+                    for _ in range(self.num_registers)
+                ]
+            )
+
+        # interpolate trace polynomials over {omicron^i, i < len(trace)}
+        trace_domain = [self.omicron.pow(i) for i in range(len(trace))]
+        trace_polynomials = []
+        for s in range(self.num_registers):
+            column = [trace[c][s] for c in range(len(trace))]
+            trace_polynomials.append(Polynomial.lagrange(trace_domain, column))
+
+        # boundary quotients (exact division)
+        interpolants = self.boundary_interpolants(boundary)
+        zeroifiers = self.boundary_zeroifiers(boundary)
+        boundary_quotients = [
+            (trace_polynomials[s] - interpolants[s]) / zeroifiers[s]
+            for s in range(self.num_registers)
+        ]
+
+        # commit boundary quotient codewords over the FRI coset
+        fri_domain = self.fri.eval_domain()
+        boundary_quotient_codewords: List[List[int]] = []
+        boundary_quotient_trees: List[MerkleTree] = []
+        for s in range(self.num_registers):
+            codeword = [fe.value for fe in boundary_quotients[s].eval_domain(fri_domain)]
+            boundary_quotient_codewords.append(codeword)
+            tree = MerkleTree([bincode_field_element(c) for c in codeword])
+            boundary_quotient_trees.append(tree)
+            proof_stream.push(tree.root.hex())
+
+        # symbolic AIR evaluation: point = [x, t(x)..., t(omicron*x)...]
+        point: List[Polynomial] = [Polynomial.x()]
+        point.extend(trace_polynomials)
+        point.extend(
+            tp.scale_argument(self.omicron) for tp in trace_polynomials
+        )
+        transition_polynomials = [
+            a.eval_symbolic(point) for a in transition_constraints
+        ]
+        tz = self.transition_zeroifier()
+        transition_quotients = [tp / tz for tp in transition_polynomials]
+
+        # randomizer polynomial (ZK; reference: stark.rs:343-360)
+        max_degree = self.max_degree(transition_constraints)
+        randomizer_poly = Polynomial(
+            [FieldElement.sample(self.rng(17)) for _ in range(max_degree + 1)]
+        )
+        randomizer_codeword = [
+            fe.value for fe in randomizer_poly.eval_domain(fri_domain)
+        ]
+        randomizer_tree = MerkleTree(
+            [bincode_field_element(c) for c in randomizer_codeword]
+        )
+        proof_stream.push(randomizer_tree.root.hex())
+
+        # weights for the nonlinear combination
+        weights = self.sample_weights(
+            1 + 2 * len(transition_quotients) + 2 * len(boundary_quotients),
+            proof_stream.prover_fiat_shamir(32),
+        )
+
+        tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
+        assert [tq.degree() for tq in transition_quotients] == tq_bounds, (
+            "transition quotient degrees do not match degree bounds"
+        )
+
+        # terms: randomizer, then (tq_i, x^shift * tq_i), then (bq_i, x^shift * bq_i)
+        bq_bounds = self.boundary_quotient_degree_bounds(len(trace), boundary)
+        terms: List[Polynomial] = [randomizer_poly]
+        for i in range(len(transition_quotients)):
+            terms.append(transition_quotients[i])
+            shift = max_degree - tq_bounds[i]
+            terms.append(Polynomial.monomial(shift, 1) * transition_quotients[i])
+        for i in range(self.num_registers):
+            terms.append(boundary_quotients[i])
+            shift = max_degree - bq_bounds[i]
+            terms.append(Polynomial.monomial(shift, 1) * boundary_quotients[i])
+
+        combination = Polynomial.zero()
+        for w, term in zip(weights, terms):
+            combination = combination + term.scale(w)
+        combined_codeword = [
+            fe.value for fe in combination.eval_domain(fri_domain)
+        ]
+
+        # FRI low-degree proof
+        indices = self.fri.prove(combined_codeword, proof_stream)
+        indices.sort()
+
+        duplicated_indices = sorted(
+            indices
+            + [(i + self.expansion_factor) % self.fri.domain_length for i in indices]
+        )
+
+        # open boundary-quotient leaves (reference: stark.rs:429-443)
+        for s in range(self.num_registers):
+            codeword = boundary_quotient_codewords[s]
+            tree = boundary_quotient_trees[s]
+            for i in duplicated_indices:
+                proof_stream.push(json_field_element(codeword[i]))
+                proof_stream.push(json_hash_path(tree.open(i)))
+
+        # open randomizer leaves (reference: stark.rs:449-464)
+        for i in indices:
+            proof_stream.push(json_field_element(randomizer_codeword[i]))
+            proof_stream.push(json_hash_path(randomizer_tree.open(i)))
+
+        return proof_stream.serialize()
+
+    # ------------------------------------------------------------------
+    # verifier (reference: stark.rs:474-723)
+    # ------------------------------------------------------------------
+
+    def verify(
+        self,
+        proof: bytes,
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Sequence[BoundaryCondition],
+    ) -> bool:
+        # infer trace length from boundary conditions
+        original_trace_length = 1 + max(c for (c, r, v) in boundary)
+        randomized_trace_length = original_trace_length + self.num_randomizers
+
+        proof_stream = ProofStream.deserialize(proof)
+
+        boundary_quotient_roots = [
+            proof_stream.pull() for _ in range(self.num_registers)
+        ]
+        randomizer_root = proof_stream.pull()
+
+        weights = self.sample_weights(
+            1 + 2 * len(transition_constraints) + 2 * self.num_registers,
+            proof_stream.verifier_fiat_shamir(32),
+        )
+
+        polynomial_values: List[Tuple[int, FieldElement]] = []
+        if not self.fri.verify(proof_stream, polynomial_values):
+            return False
+        polynomial_values.sort(key=lambda iv: iv[0])
+
+        indices = [iv[0] for iv in polynomial_values]
+        values = [iv[1] for iv in polynomial_values]
+
+        duplicated_indices = sorted(
+            indices
+            + [(i + self.expansion_factor) % self.fri.domain_length for i in indices]
+        )
+
+        # boundary-quotient leaves
+        leafs: List[Dict[int, FieldElement]] = []
+        for r in range(len(boundary_quotient_roots)):
+            root_bytes = bytes.fromhex(boundary_quotient_roots[r])
+            leaf_map: Dict[int, FieldElement] = {}
+            for i in duplicated_indices:
+                leaf_value = json_parse_field_element(proof_stream.pull())
+                leaf_map[i] = leaf_value
+                auth_path = json_parse_hash_path(proof_stream.pull())
+                if not merkle_verify(
+                    root_bytes, i, auth_path, bincode_field_element(leaf_value)
+                ):
+                    return False
+            leafs.append(leaf_map)
+
+        # randomizer leaves
+        randomizer_root_bytes = bytes.fromhex(randomizer_root)
+        randomizer: Dict[int, FieldElement] = {}
+        for i in indices:
+            leaf_value = json_parse_field_element(proof_stream.pull())
+            randomizer[i] = leaf_value
+            auth_path = json_parse_hash_path(proof_stream.pull())
+            if not merkle_verify(
+                randomizer_root_bytes, i, auth_path, bincode_field_element(leaf_value)
+            ):
+                return False
+
+        # hoisted loop invariants (the reference recomputes these per index)
+        zeroifiers = self.boundary_zeroifiers(boundary)
+        interpolants = self.boundary_interpolants(boundary)
+        tz = self.transition_zeroifier()
+        max_degree = self.max_degree(transition_constraints)
+        tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
+        bq_bounds = self.boundary_quotient_degree_bounds(
+            randomized_trace_length, boundary
+        )
+
+        for pos, current_index in enumerate(indices):
+            domain_current_index = (
+                self.generator * self.omega.pow(current_index)
+            )
+            next_index = (
+                current_index + self.expansion_factor
+            ) % self.fri.domain_length
+            trace_next_point = domain_current_index * self.omicron
+
+            current_trace = [FieldElement.zero()] * self.num_registers
+            next_trace = [FieldElement.zero()] * self.num_registers
+            for s in range(self.num_registers):
+                current_trace[s] = leafs[s][current_index] * zeroifiers[s].eval(
+                    domain_current_index
+                ) + interpolants[s].eval(domain_current_index)
+                next_trace[s] = leafs[s][next_index] * zeroifiers[s].eval(
+                    trace_next_point
+                ) + interpolants[s].eval(trace_next_point)
+
+            point = [domain_current_index] + current_trace + next_trace
+            transition_constraints_values = [
+                tc.eval(point) for tc in transition_constraints
+            ]
+
+            terms: List[FieldElement] = [randomizer[current_index]]
+            tz_eval = tz.eval(domain_current_index)
+            tz_eval_inv = tz_eval.inverse()
+            for s, tcv in enumerate(transition_constraints_values):
+                quotient = tcv * tz_eval_inv
+                terms.append(quotient)
+                shift = max_degree - tq_bounds[s]
+                terms.append(quotient * domain_current_index.pow(shift))
+            for s in range(self.num_registers):
+                bqv = leafs[s][current_index]
+                terms.append(bqv)
+                shift = max_degree - bq_bounds[s]
+                terms.append(bqv * domain_current_index.pow(shift))
+
+            combination = FieldElement.zero()
+            for w, term in zip(weights, terms):
+                combination = combination + term * w
+
+            if combination != values[pos]:
+                return False
+
+        return True
