@@ -176,7 +176,7 @@ class Fri:
             assert pow(omega, n - 1, P) == pow(omega, -1, P), (
                 "error in commit: omega does not have the right order"
             )
-            tree = MerkleTree(_serialize_leaves(codeword))
+            tree = MerkleTree.from_codeword(codeword)
             trees.append(tree)
             proof_stream.push(tree.root.hex())
 
@@ -279,7 +279,7 @@ class Fri:
         last_codeword = [fe.value for fe in json_parse_field_element_vec(proof_stream.pull())]
 
         # last codeword must match the last committed root
-        if roots[-1] != MerkleTree(_serialize_leaves(last_codeword)).root.hex():
+        if roots[-1] != MerkleTree.from_codeword(last_codeword).root.hex():
             return False
 
         # low-degree check on the last codeword

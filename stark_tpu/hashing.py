@@ -47,9 +47,13 @@ def blake2b_256_pair(left: bytes, right: bytes) -> bytes:
     return h.digest()
 
 
+#: below this many items, ctypes marshalling beats any parallel speedup
+_NATIVE_MIN_BATCH = 128
+
+
 def batch_blake2b_256(items: Sequence[bytes]) -> List[bytes]:
     """Hash many byte strings (Merkle leaf hashing hot loop)."""
-    if _native is not None:
+    if _native is not None and len(items) >= _NATIVE_MIN_BATCH:
         return _native.batch_blake2b_256(items)
     return [hashlib.blake2b(d, digest_size=32).digest() for d in items]
 
@@ -57,9 +61,19 @@ def batch_blake2b_256(items: Sequence[bytes]) -> List[bytes]:
 def merkle_level(nodes: bytes) -> bytes:
     """One interior Merkle level: input is concatenated 32-byte child
     digests (even count); output is the concatenated parent digests."""
-    if _native is not None:
+    if _native is not None and len(nodes) >= 64 * _NATIVE_MIN_BATCH:
         return _native.merkle_level(nodes)
     out = bytearray()
     for i in range(0, len(nodes), 64):
         out += hashlib.blake2b(nodes[i : i + 64], digest_size=32).digest()
     return bytes(out)
+
+
+def merkle_levels_from_codeword_digits(digits) -> "list[bytes] | None":
+    """Fused native path: (n, 4) uint32 digit rows -> all Merkle levels
+    (bincode-serialize + leaf hash + tree build entirely in C).  Returns
+    None when the native library is unavailable."""
+    if _native is None:
+        return None
+    leaf = _native.merkle_leaves_u128(digits)
+    return _native.merkle_tree_from_leaves(leaf)

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from .hashing import batch_blake2b_256, blake2b_256_pair, merkle_level
+from .hashing import (
+    batch_blake2b_256,
+    blake2b_256_pair,
+    merkle_level,
+    merkle_levels_from_codeword_digits,
+)
 
 
 class MerkleTree:
@@ -36,6 +41,33 @@ class MerkleTree:
         while len(levels[-1]) > 32:
             levels.append(merkle_level(levels[-1]))
         self.levels = levels
+
+    @classmethod
+    def from_codeword(cls, values: Sequence[int]) -> "MerkleTree":
+        """Tree over bincode(FieldElement) leaves of a codeword of residues.
+
+        Uses the fused native serialize+hash+tree path when built (one C
+        call for the whole tree); bit-identical to the generic constructor.
+        """
+        n = len(values)
+        if n and not n & (n - 1):
+            import numpy as np
+
+            digits = np.zeros((n, 4), dtype=np.uint32)
+            for i, v in enumerate(values):
+                digits[i, 0] = v & 0xFFFFFFFF
+                digits[i, 1] = (v >> 32) & 0xFFFFFFFF
+                digits[i, 2] = (v >> 64) & 0xFFFFFFFF
+                digits[i, 3] = (v >> 96) & 0xFFFFFFFF
+            levels = merkle_levels_from_codeword_digits(digits)
+            if levels is not None:
+                tree = cls.__new__(cls)
+                tree.num_leaves = n
+                tree.levels = levels
+                return tree
+        from .serialization import bincode_field_element
+
+        return cls([bincode_field_element(v) for v in values])
 
     @property
     def root(self) -> bytes:

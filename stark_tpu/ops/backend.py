@@ -1,0 +1,74 @@
+"""Device compute backend wired into the protocol layers.
+
+``JaxBackend`` routes the prover's hot numeric stages to the TPU:
+
+* ``rs_extend`` — Reed-Solomon extension (coset NTT evaluation) of a
+  coefficient vector onto the FRI domain; replaces the reference's
+  per-point Horner loop (reference: stark.rs:291-298, its hottest stage);
+* ``fri_fold`` — the FRI split-and-fold kernel (reference: fri.rs:133-139);
+* ``rescue_hash`` / ``rescue_trace`` — batched witness generation.
+
+The protocol objects (:class:`stark_tpu.fri.Fri`,
+:class:`stark_tpu.stark.Stark`) accept ``backend=JaxBackend()`` and fall
+back to the host golden model when no backend is attached (or below the
+size floor where device dispatch is not worth it).  Results are bit-equal
+either way — the backend is a pure performance seam, differential-tested
+in tests/test_device_ntt.py and tests/test_backend_stark.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import numpy as np
+
+from ..params import P
+from . import field_ops as fo
+from . import fold as fold_ops
+from . import rescue as rescue_ops
+from .limbs import pack, unpack
+from .ntt import get_plan
+
+
+class JaxBackend:
+    """TPU/JAX execution of the prover's batched numeric stages."""
+
+    #: below this codeword size, host lists are faster than device dispatch
+    min_device_size = 256
+
+    def rs_extend(self, coeffs: Sequence[int], n: int, offset: int) -> List[int]:
+        """Evaluate the polynomial (coeffs, lowest-first) over the coset
+        {offset * omega_n^i}; returns n plain residues."""
+        if n < self.min_device_size:
+            from ..ntt import NTT
+
+            return NTT(n).coset_evaluate(list(coeffs), offset)
+        padded = list(coeffs) + [0] * (n - len(coeffs))
+        plan = get_plan(n)
+        a = fo.to_mont(jax.numpy.asarray(pack(padded)))
+        out = fo.from_mont(plan.coset_forward(a, offset % P))
+        return unpack(np.asarray(jax.device_get(out)))
+
+    def rs_restrict(self, evals: Sequence[int], offset: int) -> List[int]:
+        """Inverse of :meth:`rs_extend`: coset evaluations -> coefficients."""
+        n = len(evals)
+        if n < self.min_device_size:
+            from ..ntt import NTT
+
+            return NTT(n).coset_interpolate(list(evals), offset)
+        plan = get_plan(n)
+        a = fo.to_mont(jax.numpy.asarray(pack(list(evals))))
+        out = fo.from_mont(plan.coset_inverse(a, offset % P))
+        return unpack(np.asarray(jax.device_get(out)))
+
+    def fri_fold(
+        self, codeword: Sequence[int], alpha: int, offset: int, omega: int
+    ) -> List[int]:
+        return fold_ops.fri_fold(codeword, alpha, offset, omega)
+
+    def rescue_hash(self, inputs: Sequence[int]) -> List[int]:
+        return rescue_ops.hash_batch(inputs)
+
+    def rescue_trace(self, inputs: Sequence[int]) -> np.ndarray:
+        return rescue_ops.trace_batch(inputs)

@@ -1,0 +1,14 @@
+"""Multi-chip scaling: mesh construction and domain-sharded NTT/codeword ops.
+
+The reference has no parallelism of any kind (single-threaded Rust; see
+SURVEY.md §0.3).  This package is the TPU-native scaling layer designed
+from scratch: coefficients/codewords are sharded over a
+``jax.sharding.Mesh`` and all cross-chip movement is XLA collectives
+(`all_to_all`) over ICI — the TPU-native equivalent of what a GPU framework
+would do with NCCL.
+"""
+
+from .mesh import make_mesh, cpu_mesh
+from .ntt_sharded import ShardedNTT
+
+__all__ = ["make_mesh", "cpu_mesh", "ShardedNTT"]

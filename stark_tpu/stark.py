@@ -179,6 +179,15 @@ class Stark:
     # prover (reference: stark.rs:223-471)
     # ------------------------------------------------------------------
 
+    def _rs_extend(self, poly: Polynomial, fri_domain) -> List[int]:
+        """Reed-Solomon-extend a polynomial onto the FRI coset, on device
+        when a backend is attached (bit-equal either way)."""
+        if self.backend is not None:
+            return self.backend.rs_extend(
+                poly.coeffs, self.fri_domain_length, self.generator.value
+            )
+        return [fe.value for fe in poly.eval_domain(fri_domain)]
+
     def prove(
         self,
         trace: Sequence[Sequence[FieldElement]],
@@ -217,9 +226,9 @@ class Stark:
         boundary_quotient_codewords: List[List[int]] = []
         boundary_quotient_trees: List[MerkleTree] = []
         for s in range(self.num_registers):
-            codeword = [fe.value for fe in boundary_quotients[s].eval_domain(fri_domain)]
+            codeword = self._rs_extend(boundary_quotients[s], fri_domain)
             boundary_quotient_codewords.append(codeword)
-            tree = MerkleTree([bincode_field_element(c) for c in codeword])
+            tree = MerkleTree.from_codeword(codeword)
             boundary_quotient_trees.append(tree)
             proof_stream.push(tree.root.hex())
 
@@ -240,12 +249,8 @@ class Stark:
         randomizer_poly = Polynomial(
             [FieldElement.sample(self.rng(17)) for _ in range(max_degree + 1)]
         )
-        randomizer_codeword = [
-            fe.value for fe in randomizer_poly.eval_domain(fri_domain)
-        ]
-        randomizer_tree = MerkleTree(
-            [bincode_field_element(c) for c in randomizer_codeword]
-        )
+        randomizer_codeword = self._rs_extend(randomizer_poly, fri_domain)
+        randomizer_tree = MerkleTree.from_codeword(randomizer_codeword)
         proof_stream.push(randomizer_tree.root.hex())
 
         # weights for the nonlinear combination
@@ -274,9 +279,7 @@ class Stark:
         combination = Polynomial.zero()
         for w, term in zip(weights, terms):
             combination = combination + term.scale(w)
-        combined_codeword = [
-            fe.value for fe in combination.eval_domain(fri_domain)
-        ]
+        combined_codeword = self._rs_extend(combination, fri_domain)
 
         # FRI low-degree proof
         indices = self.fri.prove(combined_codeword, proof_stream)
