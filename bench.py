@@ -1,0 +1,152 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: Rescue-Prime STARK prove wall-clock at the reference's
+small config (expansion 4, 2 colinearity tests, 28-cycle trace), with the
+TPU backend attached.  ``vs_baseline`` is the reference's prose-claimed
+~12 s prove time divided by ours (>1 = faster than the reference;
+see BASELINE.md — the reference commits no measured numbers).
+
+Extra metrics (in the "extra" field): single-chip NTT throughput at 2^20
+coefficients (the north-star metric), batched Rescue-Prime hash
+throughput, FRI fold throughput, and verify wall-clock.
+
+Runs on the real TPU (no platform overrides here — tests/conftest.py
+forces CPU for unit tests only).
+"""
+
+import json
+import sys
+import time
+
+
+def _bench_prove():
+    from stark_tpu.field import FieldElement
+    from stark_tpu.ops.backend import JaxBackend
+    from stark_tpu.rescue_prime import RescuePrime
+    from stark_tpu.rng import DeterministicRandom
+    from stark_tpu.stark import Stark
+
+    rp = RescuePrime()
+    input_element = FieldElement.sample(b"0xdeadbeef")
+    output_element = rp.hash(input_element)
+    backend = JaxBackend()
+
+    def run(seed):
+        stark = Stark(4, 2, 2, rp.m, rp.N + 1, backend=backend,
+                      rng=DeterministicRandom(seed))
+        trace = rp.trace(input_element)
+        air = rp.transition_constraints(stark.omicron)
+        boundary = rp.boundary_constraints(output_element)
+        t0 = time.perf_counter()
+        proof = stark.prove(trace, air, boundary)
+        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        ok = stark.verify(proof, air, boundary)
+        vt = time.perf_counter() - t1
+        assert ok, "benchmark proof failed to verify"
+        return dt, vt, len(proof)
+
+    run(0)  # warm-up (compiles cached afterwards)
+    times = [run(s) for s in range(1, 4)]
+    prove = min(t[0] for t in times)
+    verify = min(t[1] for t in times)
+    return prove, verify, times[0][2]
+
+
+def _bench_ntt(logn=20, iters=5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.ops import field_ops as fo
+    from stark_tpu.ops.ntt import get_plan
+
+    n = 1 << logn
+    plan = get_plan(n)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
+    out = plan.forward(a)
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    x = a
+    for _ in range(iters):
+        x = plan.forward(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt, dt
+
+
+def _bench_rescue(batch=4096, iters=3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.ops import field_ops as fo
+    from stark_tpu.ops import rescue as rescue_ops
+
+    rng = np.random.default_rng(0)
+    state = jnp.asarray(rng.integers(0, 1 << 16, (8, 2, batch), dtype=np.uint32))
+    out = rescue_ops.permutation_mont(state)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    x = state
+    for _ in range(iters):
+        x = rescue_ops.permutation_mont(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def _bench_fold(logn=20, iters=5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_tpu.field import FieldElement
+    from stark_tpu.ops.fold import _fold_tables, fold_mont
+    from stark_tpu.params import GENERATOR
+
+    n = 1 << logn
+    rng = np.random.default_rng(0)
+    cw = jnp.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
+    alpha = jnp.asarray(rng.integers(0, 1 << 16, (8, 1), dtype=np.uint32))
+    omega = FieldElement.primitive_nth_root(n).value
+    tab = jnp.asarray(_fold_tables(GENERATOR, omega, n // 2))
+    out = fold_mont(cw, alpha, tab)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fold_mont(cw, alpha, tab)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return n / dt
+
+
+def main():
+    t_start = time.time()
+    prove_s, verify_s, proof_bytes = _bench_prove()
+    ntt_throughput, ntt_s = _bench_ntt()
+    rescue_throughput = _bench_rescue()
+    fold_throughput = _bench_fold()
+
+    baseline_prove_s = 12.0  # reference CLAUDE.md:115 prose claim
+    result = {
+        "metric": "rescue_prime_stark_prove_wall_clock_small_config",
+        "value": round(prove_s, 4),
+        "unit": "seconds",
+        "vs_baseline": round(baseline_prove_s / prove_s, 2),
+        "extra": {
+            "verify_s": round(verify_s, 4),
+            "proof_bytes": proof_bytes,
+            "ntt_2e20_coeffs_per_s_per_chip": round(ntt_throughput),
+            "ntt_2e20_seconds": round(ntt_s, 4),
+            "rescue_hashes_per_s": round(rescue_throughput),
+            "fri_fold_2e20_elems_per_s": round(fold_throughput),
+            "bench_total_s": round(time.time() - t_start, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Command-line interface.
+
+The reference ships no CLI (reference: main.rs:17-19 is empty); this one
+wraps the flagship Rescue-Prime STARK pipeline:
+
+    python -m stark_tpu.cli prove  --input 57322816861100832358702415967512842988 --out proof.bin
+    python -m stark_tpu.cli verify --output <hash> --proof proof.bin
+    python -m stark_tpu.cli hash   --input 1
+    python -m stark_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_model(args):
+    from stark_tpu.models.rescue_stark import RescueStark
+    from stark_tpu.rng import DeterministicRandom, os_random_bytes
+
+    backend = None
+    if args.backend == "jax":
+        from stark_tpu.ops.backend import JaxBackend
+
+        backend = JaxBackend()
+    rng = DeterministicRandom(args.seed) if args.seed is not None else os_random_bytes
+    return RescueStark(
+        expansion_factor=args.expansion_factor,
+        num_colinearity_tests=args.num_colinearity_tests,
+        security_level=args.security_level,
+        backend=backend,
+        rng=rng,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="stark_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def add_common(p):
+        p.add_argument("--expansion-factor", type=int, default=4)
+        p.add_argument("--num-colinearity-tests", type=int, default=2)
+        p.add_argument("--security-level", type=int, default=2)
+        p.add_argument(
+            "--backend", choices=["host", "jax"], default="host",
+            help="'jax' runs the prover's numeric stages on the TPU",
+        )
+        p.add_argument("--seed", type=int, default=None,
+                       help="deterministic proof randomness (testing)")
+
+    p = sub.add_parser("prove", help="prove knowledge of a hash preimage")
+    p.add_argument("--input", required=True, help="preimage field element (int)")
+    p.add_argument("--out", required=True, help="output proof file")
+    add_common(p)
+
+    p = sub.add_parser("verify", help="verify a proof against a hash output")
+    p.add_argument("--output", required=True, help="claimed hash output (int)")
+    p.add_argument("--proof", required=True, help="proof file")
+    add_common(p)
+
+    p = sub.add_parser("hash", help="compute a Rescue-Prime hash")
+    p.add_argument("--input", required=True)
+
+    p = sub.add_parser("info", help="print field/protocol parameters")
+
+    args = parser.parse_args(argv)
+
+    from stark_tpu.field import FieldElement
+    from stark_tpu.params import GENERATOR, P
+
+    if args.command == "hash":
+        from stark_tpu.rescue_prime import RescuePrime
+
+        out = RescuePrime().hash(FieldElement(int(args.input, 0)))
+        print(out.value)
+        return 0
+
+    if args.command == "info":
+        info = {
+            "prime": str(P),
+            "prime_formula": "1 + 407 * 2^119",
+            "two_adicity": 119,
+            "generator": str(GENERATOR),
+            "hash": "Rescue-Prime (m=2, N=27, alpha=3)",
+            "merkle": "Blake2b-256",
+            "fiat_shamir": "Shake256",
+        }
+        print(json.dumps(info, indent=2))
+        return 0
+
+    model = _build_model(args)
+
+    if args.command == "prove":
+        x = FieldElement(int(args.input, 0))
+        t0 = time.perf_counter()
+        output, proof = model.prove(x)
+        dt = time.perf_counter() - t0
+        with open(args.out, "wb") as f:
+            f.write(proof)
+        print(
+            json.dumps(
+                {
+                    "output": str(output.value),
+                    "proof_file": args.out,
+                    "proof_bytes": len(proof),
+                    "prove_seconds": round(dt, 3),
+                }
+            )
+        )
+        return 0
+
+    if args.command == "verify":
+        with open(args.proof, "rb") as f:
+            proof = f.read()
+        t0 = time.perf_counter()
+        ok = model.verify(FieldElement(int(args.output, 0)), proof)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"valid": bool(ok), "verify_seconds": round(dt, 3)}))
+        return 0 if ok else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

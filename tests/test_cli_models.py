@@ -1,0 +1,67 @@
+"""CLI and flagship-model pipeline tests."""
+
+import json
+
+from stark_tpu.cli import main as cli_main
+from stark_tpu.field import FieldElement
+from stark_tpu.models.rescue_stark import RescueStark
+from stark_tpu.rng import DeterministicRandom
+
+
+def test_model_prove_verify():
+    model = RescueStark(rng=DeterministicRandom(1))
+    x = FieldElement(12345)
+    output, proof = model.prove(x)
+    assert output == model.hash(x)
+    assert model.verify(output, proof)
+    assert not model.verify(FieldElement(999), proof)
+    # malformed bytes are rejected, not raised
+    assert not model.verify(output, b"garbage")
+    assert not model.verify(output, proof[:-10])
+
+
+def test_model_prove_batch():
+    model = RescueStark(rng=DeterministicRandom(2))
+    inputs = [FieldElement(5), FieldElement(6)]
+    results = model.prove_batch(inputs)
+    assert len(results) == 2
+    for x, (output, proof) in zip(inputs, results):
+        assert output == model.hash(x)
+        assert model.verify(output, proof)
+
+
+def test_cli_round_trip(tmp_path, capsys):
+    proof_file = str(tmp_path / "proof.bin")
+    rc = cli_main(
+        [
+            "prove",
+            "--input", "57322816861100832358702415967512842988",
+            "--out", proof_file,
+            "--seed", "7",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["output"] == "89633745865384635541695204788332415101"
+
+    rc = cli_main(
+        ["verify", "--output", out["output"], "--proof", proof_file]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["valid"] is True
+
+    # wrong output fails with nonzero exit
+    rc = cli_main(["verify", "--output", "1", "--proof", proof_file])
+    assert rc == 1
+    assert json.loads(capsys.readouterr().out)["valid"] is False
+
+
+def test_cli_hash_and_info(capsys):
+    assert cli_main(["hash", "--input", "1"]) == 0
+    assert (
+        capsys.readouterr().out.strip()
+        == "244180265933090377212304188905974087294"
+    )
+    assert cli_main(["info"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["prime_formula"] == "1 + 407 * 2^119"
