@@ -104,6 +104,50 @@ class MPolynomial:
             acc = (acc + prod) % P
         return FieldElement(acc)
 
+    def eval_batch(self, columns: Sequence[Sequence[int]]) -> List[int]:
+        """Evaluate at many points at once: ``columns[i][k]`` is the value
+        of variable i at point k.  Returns the value column.
+
+        This is the evaluation-space path the TPU prover uses instead of
+        symbolic polynomial composition — the AIR is evaluated pointwise
+        over the whole FRI domain as batched column arithmetic (power
+        columns are cached per (variable, exponent))."""
+        if not columns:
+            return []
+        n = len(columns[0])
+        acc = [0] * n
+        pow_cache = {}
+
+        def pow_col(i: int, e: int) -> Sequence[int]:
+            if e == 1:
+                return columns[i]
+            key = (i, e)
+            if key not in pow_cache:
+                half = pow_col(i, e // 2)
+                sq = [v * v % P for v in half]
+                if e & 1:
+                    base = columns[i]
+                    sq = [a * b % P for a, b in zip(sq, base)]
+                pow_cache[key] = sq
+            return pow_cache[key]
+
+        for exps, coeff in self.dict.items():
+            if coeff == 0:
+                continue
+            term = None
+            for i, e in enumerate(exps):
+                if e == 0 or i >= len(columns):
+                    continue
+                pc = pow_col(i, e)
+                if term is None:
+                    term = [coeff * v % P for v in pc]
+                else:
+                    term = [t * v % P for t, v in zip(term, pc)]
+            if term is None:
+                term = [coeff] * n
+            acc = [(a + t) % P for a, t in zip(acc, term)]
+        return acc
+
     def eval_symbolic(self, point: Sequence[Polynomial]) -> Polynomial:
         """Substitute univariate polynomials for the variables
         (reference: multivariate_poly.rs:75-88)."""

@@ -272,14 +272,25 @@ class Polynomial:
     # -- persistence (reference: univariate_poly.rs:224-238) --------------
 
     def save(self, filename: str) -> None:
+        """Write serde_json-compatible {"coeffs":[FieldElement...]} with
+        coefficients highest-degree first, matching the reference's on-disk
+        format exactly (Polynomial derives Serialize; coefficient order is
+        part of the format)."""
+        from .serialization import json_field_element
+
+        body = ",".join(json_field_element(c) for c in reversed(self.coeffs))
         with open(filename, "w") as f:
-            json.dump({"coeffs": [str(c) for c in self.coeffs]}, f)
+            f.write('{"coeffs":[%s]}' % body)
 
     @staticmethod
     def load(filename: str) -> "Polynomial":
+        from .serialization import _field_element_from_obj
+
         with open(filename) as f:
             data = json.load(f)
-        return Polynomial([int(c) for c in data["coeffs"]])
+        return Polynomial(
+            [_field_element_from_obj(o) for o in reversed(data["coeffs"])]
+        )
 
     # -- dunder plumbing --------------------------------------------------
 

@@ -52,6 +52,21 @@ from .serialization import (
 BoundaryCondition = Tuple[int, int, FieldElement]
 
 
+def _batch_inverse(values: Sequence[int]) -> List[int]:
+    """Batch modular inversion via Montgomery's running-product trick
+    (one pow(-1) for the whole batch).  All values must be nonzero."""
+    n = len(values)
+    prefix = [1] * (n + 1)
+    for i in range(n):
+        prefix[i + 1] = prefix[i] * values[i] % P
+    inv_all = pow(prefix[n], -1, P)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % P
+        inv_all = inv_all * values[i] % P
+    return out
+
+
 class Stark:
     """STARK prover/verifier for one AIR instance shape."""
 
@@ -64,9 +79,18 @@ class Stark:
         original_trace_length: int,
         backend=None,
         rng: RandomBytes = os_random_bytes,
+        algorithm: str = "evaluation",
     ) -> None:
         if expansion_factor & (expansion_factor - 1):
             raise ValueError("expansion factor must be a power of 2")
+        if algorithm not in ("evaluation", "symbolic"):
+            raise ValueError("algorithm must be 'evaluation' or 'symbolic'")
+        #: "evaluation" computes transition quotients and the combination
+        #: pointwise over the FRI domain (codeword space — the TPU-native
+        #: formulation); "symbolic" composes coefficient-form polynomials
+        #: like the reference (stark.rs:309-341).  Both produce identical
+        #: transcripts for honest traces (tests pin this).
+        self.algorithm = algorithm
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
         # stored but unused, as in the reference (stark.rs:21)
@@ -188,6 +212,209 @@ class Stark:
             )
         return [fe.value for fe in poly.eval_domain(fri_domain)]
 
+    def _combination_symbolic(
+        self,
+        trace_polynomials,
+        transition_constraints,
+        boundary_quotients,
+        randomizer_poly,
+        weights,
+        max_degree,
+        tq_bounds,
+        bq_bounds,
+        fri_domain,
+    ) -> List[int]:
+        """Coefficient-form combination, mirroring the reference's symbolic
+        composition pipeline (reference: stark.rs:309-406)."""
+        point: List[Polynomial] = [Polynomial.x()]
+        point.extend(trace_polynomials)
+        point.extend(
+            tp.scale_argument(self.omicron) for tp in trace_polynomials
+        )
+        transition_polynomials = [
+            a.eval_symbolic(point) for a in transition_constraints
+        ]
+        tz = self.transition_zeroifier()
+        transition_quotients = [tp / tz for tp in transition_polynomials]
+
+        assert [tq.degree() for tq in transition_quotients] == tq_bounds, (
+            "transition quotient degrees do not match degree bounds"
+        )
+
+        terms: List[Polynomial] = [randomizer_poly]
+        for i in range(len(transition_quotients)):
+            terms.append(transition_quotients[i])
+            shift = max_degree - tq_bounds[i]
+            terms.append(Polynomial.monomial(shift, 1) * transition_quotients[i])
+        for i in range(self.num_registers):
+            terms.append(boundary_quotients[i])
+            shift = max_degree - bq_bounds[i]
+            terms.append(Polynomial.monomial(shift, 1) * boundary_quotients[i])
+
+        combination = Polynomial.zero()
+        for w, term in zip(weights, terms):
+            combination = combination + term.scale(w)
+        return self._rs_extend(combination, fri_domain)
+
+    def _air_codeword(
+        self, tc: MPolynomial, state_columns, fri_domain
+    ) -> List[int]:
+        """Evaluate one AIR polynomial over the whole FRI domain.
+
+        Terms are grouped by their state-variable monomial: the AIR is
+        rewritten as sum_m  m(state) * c_m(x)  with c_m univariate in x
+        (the round-constant interpolants concentrate there).  Each c_m is
+        evaluated in one coset NTT and the state monomials are cached
+        power columns — O(#monomials) NTTs + elementwise products instead
+        of per-point dictionary evaluation.
+        """
+        n = self.fri_domain_length
+        groups = {}
+        for exps, coeff in tc.dict.items():
+            if coeff == 0:
+                continue
+            x_e = exps[0] if exps else 0
+            tail = tuple(exps[1:])
+            g = groups.setdefault(tail, {})
+            g[x_e] = (g.get(x_e, 0) + coeff) % P
+        pow_cache = {}
+
+        def pow_col(i: int, e: int) -> List[int]:
+            if e == 1:
+                return state_columns[i]
+            key = (i, e)
+            if key not in pow_cache:
+                half = pow_col(i, e // 2)
+                sq = [v * v % P for v in half]
+                if e & 1:
+                    sq = [a * b % P for a, b in zip(sq, state_columns[i])]
+                pow_cache[key] = sq
+            return pow_cache[key]
+
+        acc = [0] * n
+        for tail, xdict in groups.items():
+            max_e = max(xdict)
+            coeffs = [0] * (max_e + 1)
+            for e, c in xdict.items():
+                coeffs[e] = c
+            term = self._rs_extend(Polynomial(coeffs), fri_domain)
+            for i, e in enumerate(tail):
+                if e == 0:
+                    continue
+                pc = pow_col(i, e)
+                term = [t * v % P for t, v in zip(term, pc)]
+            acc = [(a + t) % P for a, t in zip(acc, term)]
+        return acc
+
+    def _combination_evaluation(
+        self,
+        trace_polynomials,
+        transition_constraints,
+        boundary_quotient_codewords,
+        randomizer_codeword,
+        weights,
+        max_degree,
+        tq_bounds,
+        bq_bounds,
+        fri_domain,
+    ) -> List[int]:
+        """Evaluation-space combination: everything pointwise on the FRI
+        coset — the TPU-native formulation.
+
+        Identities used (all exact; same polynomials as the symbolic path,
+        hence identical transcripts):
+
+        * trace codewords come from coset-NTT extension of the trace
+          polynomials; t(omicron * x_i) = t(x_{(i+expansion) mod N})
+          because omicron = omega^expansion on the FRI coset;
+        * the AIR is evaluated pointwise over the domain
+          (:meth:`stark_tpu.mpoly.MPolynomial.eval_batch`);
+        * transition quotients are pointwise products with the inverted
+          transition-zeroifier codeword (nonzero on the coset; one batch
+          inversion), and their coefficients — needed only for the degree
+          assertion — come from one inverse coset-NTT each;
+        * x^shift codewords are geometric tables
+          g^shift * (omega^shift)^i.
+        """
+        n = self.fri_domain_length
+        g = self.generator.value
+        omega = self.omega.value
+
+        trace_codewords = [
+            self._rs_extend(tp, fri_domain) for tp in trace_polynomials
+        ]
+        shift_by = self.expansion_factor
+        next_codewords = [
+            cw[shift_by:] + cw[:shift_by] for cw in trace_codewords
+        ]
+
+        state_columns = trace_codewords + next_codewords
+        air_codewords = [
+            self._air_codeword(tc, state_columns, fri_domain)
+            for tc in transition_constraints
+        ]
+
+        tz_codeword = self._rs_extend(self.transition_zeroifier(), fri_domain)
+        tz_inv = _batch_inverse(tz_codeword)
+        tq_codewords = [
+            [a * zi % P for a, zi in zip(air_cw, tz_inv)]
+            for air_cw in air_codewords
+        ]
+
+        # degree assertion via inverse coset-NTT (reference: stark.rs:379-380)
+        from .ntt import NTT
+
+        ntt = NTT(n)
+        tq_degrees = []
+        for tq_cw in tq_codewords:
+            coeffs = (
+                self.backend.rs_restrict(tq_cw, g)
+                if self.backend is not None
+                else ntt.coset_interpolate(tq_cw, g)
+            )
+            tq_degrees.append(Polynomial(coeffs).degree())
+        assert tq_degrees == tq_bounds, (
+            "transition quotient degrees do not match degree bounds"
+        )
+
+        def shift_column(shift: int) -> List[int]:
+            if shift == 0:
+                return [1] * n
+            base = pow(omega, shift, P)
+            out = [0] * n
+            cur = pow(g, shift, P)
+            for i in range(n):
+                out[i] = cur
+                cur = cur * base % P
+            return out
+
+        w0 = weights[0].value
+        combination = [w0 * c % P for c in randomizer_codeword]
+        widx = 1
+        for i, tq_cw in enumerate(tq_codewords):
+            w1 = weights[widx].value
+            w2 = weights[widx + 1].value
+            widx += 2
+            xs = shift_column(max_degree - tq_bounds[i])
+            for k in range(n):
+                combination[k] = (
+                    combination[k]
+                    + w1 * tq_cw[k]
+                    + w2 * xs[k] * tq_cw[k]
+                ) % P
+        for i, bq_cw in enumerate(boundary_quotient_codewords):
+            w1 = weights[widx].value
+            w2 = weights[widx + 1].value
+            widx += 2
+            xs = shift_column(max_degree - bq_bounds[i])
+            for k in range(n):
+                combination[k] = (
+                    combination[k]
+                    + w1 * bq_cw[k]
+                    + w2 * xs[k] * bq_cw[k]
+                ) % P
+        return combination
+
     def prove(
         self,
         trace: Sequence[Sequence[FieldElement]],
@@ -232,18 +459,6 @@ class Stark:
             boundary_quotient_trees.append(tree)
             proof_stream.push(tree.root.hex())
 
-        # symbolic AIR evaluation: point = [x, t(x)..., t(omicron*x)...]
-        point: List[Polynomial] = [Polynomial.x()]
-        point.extend(trace_polynomials)
-        point.extend(
-            tp.scale_argument(self.omicron) for tp in trace_polynomials
-        )
-        transition_polynomials = [
-            a.eval_symbolic(point) for a in transition_constraints
-        ]
-        tz = self.transition_zeroifier()
-        transition_quotients = [tp / tz for tp in transition_polynomials]
-
         # randomizer polynomial (ZK; reference: stark.rs:343-360)
         max_degree = self.max_degree(transition_constraints)
         randomizer_poly = Polynomial(
@@ -253,33 +468,55 @@ class Stark:
         randomizer_tree = MerkleTree.from_codeword(randomizer_codeword)
         proof_stream.push(randomizer_tree.root.hex())
 
+        # diagnostic the reference lacks: if the combination degree exceeds
+        # what FRI can accept, honest proofs will be rejected (true of the
+        # reference's own (8,8,32) benchmark config)
+        fri_budget = self.fri_domain_length // self.expansion_factor - 1
+        if max_degree > fri_budget:
+            from .utils import get_logger
+
+            get_logger("stark_tpu.stark").warning(
+                "combination degree bound %d exceeds the FRI degree budget "
+                "%d for expansion factor %d — honest proofs will NOT verify "
+                "with this configuration",
+                max_degree,
+                fri_budget,
+                self.expansion_factor,
+            )
+
         # weights for the nonlinear combination
         weights = self.sample_weights(
-            1 + 2 * len(transition_quotients) + 2 * len(boundary_quotients),
+            1 + 2 * len(transition_constraints) + 2 * len(boundary_quotients),
             proof_stream.prover_fiat_shamir(32),
         )
 
         tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
-        assert [tq.degree() for tq in transition_quotients] == tq_bounds, (
-            "transition quotient degrees do not match degree bounds"
-        )
-
-        # terms: randomizer, then (tq_i, x^shift * tq_i), then (bq_i, x^shift * bq_i)
         bq_bounds = self.boundary_quotient_degree_bounds(len(trace), boundary)
-        terms: List[Polynomial] = [randomizer_poly]
-        for i in range(len(transition_quotients)):
-            terms.append(transition_quotients[i])
-            shift = max_degree - tq_bounds[i]
-            terms.append(Polynomial.monomial(shift, 1) * transition_quotients[i])
-        for i in range(self.num_registers):
-            terms.append(boundary_quotients[i])
-            shift = max_degree - bq_bounds[i]
-            terms.append(Polynomial.monomial(shift, 1) * boundary_quotients[i])
 
-        combination = Polynomial.zero()
-        for w, term in zip(weights, terms):
-            combination = combination + term.scale(w)
-        combined_codeword = self._rs_extend(combination, fri_domain)
+        if self.algorithm == "symbolic":
+            combined_codeword = self._combination_symbolic(
+                trace_polynomials,
+                transition_constraints,
+                boundary_quotients,
+                randomizer_poly,
+                weights,
+                max_degree,
+                tq_bounds,
+                bq_bounds,
+                fri_domain,
+            )
+        else:
+            combined_codeword = self._combination_evaluation(
+                trace_polynomials,
+                transition_constraints,
+                boundary_quotient_codewords,
+                randomizer_codeword,
+                weights,
+                max_degree,
+                tq_bounds,
+                bq_bounds,
+                fri_domain,
+            )
 
         # FRI low-degree proof
         indices = self.fri.prove(combined_codeword, proof_stream)
