@@ -58,19 +58,19 @@ def _bench_ntt(logn=20, iters=5):
     import jax.numpy as jnp
     import numpy as np
 
-    from stark_tpu.ops import field_ops as fo
-    from stark_tpu.ops.ntt import get_plan
+    from stark_tpu.ops.backend import best_plan
 
     n = 1 << logn
-    plan = get_plan(n)
+    plan = best_plan(n)  # Pallas four-step on TPU at this size
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
-    out = plan.forward(a)
+    fwd = jax.jit(plan.forward)
+    out = fwd(a)
     jax.block_until_ready(out)  # compile
     t0 = time.perf_counter()
     x = a
     for _ in range(iters):
-        x = plan.forward(x)
+        x = fwd(x)
     jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / iters
     return n / dt, dt

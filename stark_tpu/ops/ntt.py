@@ -83,8 +83,70 @@ class NTTPlan:
         n_inv = pow(n, -1, P)
         self.n_inv_mont = jnp.asarray(_mont_pack([n_inv]))  # (8, 1)
 
-        self._forward_jit = jax.jit(lambda a: self._transform(a, inverse=False))
-        self._inverse_jit = jax.jit(lambda a: self._transform(a, inverse=True))
+        # periodic twiddle tables for the fixed-shape (roll) formulation:
+        # stage s has period 2^(s+1) = [1]*half + [w^0..w^(half-1)]
+        self.twiddle_periods_fwd = []
+        self.twiddle_periods_inv = []
+        length = 2
+        s = 0
+        while length <= n:
+            half = length // 2
+            for tables, out in (
+                (self.twiddles_fwd, self.twiddle_periods_fwd),
+                (self.twiddles_inv, self.twiddle_periods_inv),
+            ):
+                tw = np.asarray(tables[s])  # (8, half) Montgomery
+                period = np.concatenate(
+                    [np.tile(_mont_pack([1]), (1, half)), tw], axis=1
+                )
+                out.append(jnp.asarray(period))  # (8, length)
+            length *= 2
+            s += 1
+
+        import os
+
+        self.variant = os.environ.get("STARK_TPU_NTT_VARIANT", "reshape")
+        self._forward_jit = jax.jit(lambda a: self._transform_any(a, False))
+        self._inverse_jit = jax.jit(lambda a: self._transform_any(a, True))
+
+    def _transform_any(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        if self.variant == "roll":
+            return self._transform_roll(a, inverse)
+        return self._transform(a, inverse)
+
+    def _transform_roll(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+        """Fixed-shape NTT: every stage operates on the full (8, *, n) array
+        with static rolls and bitmask selects instead of reshapes, avoiding
+        per-stage layout retiling on TPU.  2x redundant multiplies, but no
+        data movement between tilings."""
+        n = self.n
+        x = a[..., self.bitrev]
+        periods = (
+            self.twiddle_periods_inv if inverse else self.twiddle_periods_fwd
+        )
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)
+        length = 2
+        s = 0
+        while length <= n:
+            half = length // 2
+            period = periods[s]
+            reps = n // length
+            T = jnp.tile(period, (1, reps))  # (8, n)
+            if x.ndim > 2:
+                T = T.reshape((NUM_LIMBS,) + (1,) * (x.ndim - 2) + (n,))
+            v = fo.mont_mul(x, T)
+            v_left = jnp.roll(v, -half, axis=-1)
+            x_right = jnp.roll(x, half, axis=-1)
+            mask = (idx & half) == 0  # first half of each block
+            x = jnp.where(mask, fo.add(x, v_left), fo.sub(x_right, v))
+            length *= 2
+            s += 1
+        if inverse:
+            scale = self.n_inv_mont.reshape(
+                (NUM_LIMBS,) + (1,) * (x.ndim - 1)
+            )
+            x = fo.mont_mul(x, scale)
+        return x
 
     # -- core ------------------------------------------------------------
 
