@@ -80,6 +80,7 @@ class Stark:
         backend=None,
         rng: RandomBytes = os_random_bytes,
         algorithm: str = "evaluation",
+        degree_target: str = "reference",
     ) -> None:
         if expansion_factor & (expansion_factor - 1):
             raise ValueError("expansion factor must be a power of 2")
@@ -91,6 +92,20 @@ class Stark:
         #: like the reference (stark.rs:309-341).  Both produce identical
         #: transcripts for honest traces (tests pin this).
         self.algorithm = algorithm
+        if degree_target not in ("reference", "fri"):
+            raise ValueError("degree_target must be 'reference' or 'fri'")
+        #: The degree all combination terms are shifted up to (and the
+        #: randomizer polynomial's degree).  "reference" reproduces the
+        #: reference's max_degree formula (stark.rs:191-202) — correct
+        #: ONLY when it coincides with the FRI degree budget, which holds
+        #: for the reference's Rescue-Prime configs but not in general:
+        #: FRI's colinearity check demands degree exactly 1 at every
+        #: round, so a combination far below the budget degenerates to a
+        #: constant mid-cascade and HONEST proofs get rejected.  "fri"
+        #: targets the FRI budget (fri_domain/expansion - 1) directly,
+        #: which is identical for the reference configs and correct for
+        #: arbitrary AIRs (e.g. low-degree constraints like Fibonacci).
+        self.degree_target = degree_target
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
         # stored but unused, as in the reference (stark.rs:21)
@@ -190,6 +205,15 @@ class Stark:
         if md == 0:
             return 0
         return (1 << md.bit_length()) - 1
+
+    def combination_degree(
+        self, transition_constraints: Sequence[MPolynomial]
+    ) -> int:
+        """The target degree for the nonlinear combination (see
+        ``degree_target``)."""
+        if self.degree_target == "fri":
+            return self.fri_domain_length // self.expansion_factor - 1
+        return self.max_degree(transition_constraints)
 
     def sample_weights(self, number: int, randomness: bytes) -> List[FieldElement]:
         """Blake2b-256(randomness || i_le_u64) -> sample
@@ -460,7 +484,7 @@ class Stark:
             proof_stream.push(tree.root.hex())
 
         # randomizer polynomial (ZK; reference: stark.rs:343-360)
-        max_degree = self.max_degree(transition_constraints)
+        max_degree = self.combination_degree(transition_constraints)
         randomizer_poly = Polynomial(
             [FieldElement.sample(self.rng(17)) for _ in range(max_degree + 1)]
         )
@@ -492,6 +516,15 @@ class Stark:
 
         tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
         bq_bounds = self.boundary_quotient_degree_bounds(len(trace), boundary)
+
+        worst = max(tq_bounds + bq_bounds)
+        if worst > max_degree:
+            raise ValueError(
+                f"a quotient's degree bound ({worst}) exceeds the "
+                f"combination degree target ({max_degree}); this "
+                "configuration cannot produce a verifiable proof "
+                "(shrink the constraint degree or grow the domain)"
+            )
 
         if self.algorithm == "symbolic":
             combined_codeword = self._combination_symbolic(
@@ -612,7 +645,7 @@ class Stark:
         zeroifiers = self.boundary_zeroifiers(boundary)
         interpolants = self.boundary_interpolants(boundary)
         tz = self.transition_zeroifier()
-        max_degree = self.max_degree(transition_constraints)
+        max_degree = self.combination_degree(transition_constraints)
         tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
         bq_bounds = self.boundary_quotient_degree_bounds(
             randomized_trace_length, boundary
