@@ -145,7 +145,8 @@ class Fri:
         self, codeword: List[int], alpha: int, offset: int, omega: int
     ) -> List[int]:
         half = len(codeword) // 2
-        if self.backend is not None and half >= 256:
+        floor = getattr(self.backend, "min_device_size", 256)
+        if self.backend is not None and half >= floor:
             return self.backend.fri_fold(codeword, alpha, offset, omega)
         inv = _inverse_table(offset, omega, half)
         two_inv = pow(2, -1, P)

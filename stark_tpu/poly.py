@@ -141,6 +141,16 @@ class Polynomial:
                 return Polynomial(NTT(n).interpolate(ys))
             if kind is not None:
                 return Polynomial(NTT(n).coset_interpolate(ys, kind))
+        if n > 64:
+            # geometric progressions (e.g. the STARK trace domain
+            # {omicron^i, i < trace_length}) interpolate in O(n log n)
+            # via the chirp/q-binomial method — the reference is O(n^2)
+            # here (univariate_poly.rs:147-164)
+            from .geometric import detect_ratio, geometric_interpolate
+
+            q = detect_ratio(xs)
+            if q is not None:
+                return Polynomial(geometric_interpolate(xs, ys, q))
         return Polynomial(_lagrange_newton(xs, ys))
 
     @staticmethod

@@ -58,3 +58,14 @@ def test_fibonacci_tampered_trace_detected():
     boundary = air.boundary_constraints(a, b, trace[-1][0])
     with pytest.raises(AssertionError):
         model.stark.prove(trace, model._constraints, boundary)
+
+
+def test_fibonacci_long_trace_fast_interpolation():
+    """A 500-step trace (1024-point omicron domain, 4096-point FRI domain)
+    proves in seconds thanks to the O(n log n) geometric-progression trace
+    interpolation (the reference's O(n^2) Lagrange would dominate here)."""
+    model = FibonacciStark(500, rng=DeterministicRandom(77))
+    assert model.stark.omicron_domain_length == 1024
+    a, b = FieldElement(1), FieldElement(1)
+    result, proof = model.prove(a, b)
+    assert model.verify(a, b, result, proof)
