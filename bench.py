@@ -18,6 +18,13 @@ import json
 import sys
 import time
 
+# persistent compilation cache: the Pallas NTT compiles in ~100s cold;
+# repeat runs on the same machine should not pay that again
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/stark_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _bench_prove():
     from stark_tpu.field import FieldElement
