@@ -18,6 +18,9 @@ Reference suites reproduced (same operation grid):
 from __future__ import annotations
 
 import argparse
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/stark_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import json
 import os
 import random

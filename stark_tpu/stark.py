@@ -293,14 +293,32 @@ class Stark:
         of per-point dictionary evaluation.
         """
         n = self.fri_domain_length
-        groups = {}
-        for exps, coeff in tc.dict.items():
-            if coeff == 0:
-                continue
-            x_e = exps[0] if exps else 0
-            tail = tuple(exps[1:])
-            g = groups.setdefault(tail, {})
-            g[x_e] = (g.get(x_e, 0) + coeff) % P
+        # the group codewords depend only on the AIR (round-constant
+        # interpolants), not on the trace — cache per constraint object so
+        # repeated proving skips their coset NTTs entirely
+        cache = getattr(self, "_air_group_cache", None)
+        if cache is None:
+            cache = self._air_group_cache = {}
+        cached = cache.get(id(tc))
+        if cached is None:
+            groups = {}
+            for exps, coeff in tc.dict.items():
+                if coeff == 0:
+                    continue
+                x_e = exps[0] if exps else 0
+                tail = tuple(exps[1:])
+                g = groups.setdefault(tail, {})
+                g[x_e] = (g.get(x_e, 0) + coeff) % P
+            group_codewords = []
+            for tail, xdict in groups.items():
+                max_e = max(xdict)
+                coeffs = [0] * (max_e + 1)
+                for e, c in xdict.items():
+                    coeffs[e] = c
+                group_codewords.append(
+                    (tail, self._rs_extend(Polynomial(coeffs), fri_domain))
+                )
+            cached = cache[id(tc)] = group_codewords
         pow_cache = {}
 
         def pow_col(i: int, e: int) -> List[int]:
@@ -316,12 +334,8 @@ class Stark:
             return pow_cache[key]
 
         acc = [0] * n
-        for tail, xdict in groups.items():
-            max_e = max(xdict)
-            coeffs = [0] * (max_e + 1)
-            for e, c in xdict.items():
-                coeffs[e] = c
-            term = self._rs_extend(Polynomial(coeffs), fri_domain)
+        for tail, base_codeword in cached:
+            term = base_codeword
             for i, e in enumerate(tail):
                 if e == 0:
                     continue
@@ -378,8 +392,13 @@ class Stark:
             for tc in transition_constraints
         ]
 
-        tz_codeword = self._rs_extend(self.transition_zeroifier(), fri_domain)
-        tz_inv = _batch_inverse(tz_codeword)
+        # the zeroifier codeword is trace-independent too — cache it
+        tz_inv = getattr(self, "_tz_inv_cache", None)
+        if tz_inv is None:
+            tz_codeword = self._rs_extend(
+                self.transition_zeroifier(), fri_domain
+            )
+            tz_inv = self._tz_inv_cache = _batch_inverse(tz_codeword)
         tq_codewords = [
             [a * zi % P for a, zi in zip(air_cw, tz_inv)]
             for air_cw in air_codewords
