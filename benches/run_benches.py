@@ -233,16 +233,26 @@ def bench_ntt(max_logn=20):
     import jax
     import numpy as np
 
-    from stark_tpu.ops.ntt import get_plan
+    from stark_tpu.ops.backend import best_plan
 
     out = {}
     rng = np.random.default_rng(0)
     for logn in range(10, max_logn + 1, 2):
         n = 1 << logn
-        plan = get_plan(n)
+        plan = best_plan(n)
         a = jax.numpy.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
         jax.block_until_ready(plan.forward(a))
-        dt = timeit(lambda: jax.block_until_ready(plan.forward(a)), repeat=3)
+
+        def chained():
+            # pipeline several transforms per timing so per-dispatch RTT
+            # (large through a remote-TPU tunnel) amortizes — this is the
+            # steady-state throughput a streaming prover sees
+            x = a
+            for _ in range(5):
+                x = plan.forward(x)
+            jax.block_until_ready(x)
+
+        dt = timeit(chained, repeat=3) / 5
         out[f"device_ntt_2e{logn}"] = dt
         out[f"device_ntt_2e{logn}_coeffs_per_s"] = round(n / dt)
     return out

@@ -340,17 +340,34 @@ class PallasNTT:
         # layout (8, k2, k1): natural index k = k1 + R*k2 — plain reshape
         return out.reshape(NUM_LIMBS, self.n)
 
+    def _jitted(self, inverse: bool, offset: int):
+        """One jitted end-to-end transform per (direction, offset) so a
+        steady-state call is a single dispatch (bitrev + both Pallas
+        passes + transpose fused into one executable)."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = (inverse, offset % P)
+        if key not in cache:
+            # build multiplier tables eagerly (outside any trace)
+            if (not inverse and offset != 1) or inverse:
+                self._row_col_tables(offset, inverse)
+            cache[key] = jax.jit(
+                lambda a: self._transform(a, inverse, offset)
+            )
+        return cache[key]
+
     def forward(self, a: jnp.ndarray) -> jnp.ndarray:
-        return self._transform(a, False, 1)
+        return self._jitted(False, 1)(a)
 
     def inverse(self, a: jnp.ndarray) -> jnp.ndarray:
-        return self._transform(a, True, 1)
+        return self._jitted(True, 1)(a)
 
     def coset_forward(self, a: jnp.ndarray, offset: int) -> jnp.ndarray:
-        return self._transform(a, False, offset)
+        return self._jitted(False, offset)(a)
 
     def coset_inverse(self, a: jnp.ndarray, offset: int) -> jnp.ndarray:
-        return self._transform(a, True, offset)
+        return self._jitted(True, offset)(a)
 
 
 @lru_cache(maxsize=8)

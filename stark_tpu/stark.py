@@ -3,9 +3,10 @@
 Pipeline (reference: stark.rs:223-471 prove, :474-723 verify):
 
   trace (+ randomizer rows) -> trace polynomials -> boundary quotients
-  -> Merkle commitments -> transition polynomials (symbolic AIR eval)
-  -> transition quotients -> randomizer polynomial -> weighted combination
-  -> FRI low-degree proof -> leaf openings.
+  -> Merkle commitments -> transition quotients (pointwise AIR evaluation
+  over the FRI coset by default; symbolic composition like the reference
+  under algorithm="symbolic") -> randomizer polynomial -> weighted
+  combination -> FRI low-degree proof -> leaf openings.
 
 All degree bookkeeping reproduces the reference exactly, including its
 quirks, because the bookkeeping feeds the x^shift terms and therefore the
@@ -299,7 +300,10 @@ class Stark:
         cache = getattr(self, "_air_group_cache", None)
         if cache is None:
             cache = self._air_group_cache = {}
-        cached = cache.get(id(tc))
+        # content-keyed: id() could alias a new object after GC and serve a
+        # stale table, silently corrupting transcripts
+        key = tuple(sorted(tc.dict.items()))
+        cached = cache.get(key)
         if cached is None:
             groups = {}
             for exps, coeff in tc.dict.items():
@@ -318,7 +322,7 @@ class Stark:
                 group_codewords.append(
                     (tail, self._rs_extend(Polynomial(coeffs), fri_domain))
                 )
-            cached = cache[id(tc)] = group_codewords
+            cached = cache[key] = group_codewords
         pow_cache = {}
 
         def pow_col(i: int, e: int) -> List[int]:

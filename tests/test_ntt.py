@@ -88,3 +88,13 @@ def test_rejects_bad_sizes():
     ntt = NTT(8)
     with pytest.raises(ValueError):
         ntt.forward([1, 2, 3])
+
+
+def test_round_trip_large():
+    """2^14 round-trip (the BASELINE grid asks for 2^10..2^20; larger sizes
+    run on device, differential-tested in test_device_ntt / TPU drives)."""
+    rng = random.Random(14)
+    n = 1 << 14
+    ntt = NTT(n)
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    assert ntt.interpolate(ntt.evaluate(coeffs)) == coeffs
