@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..params import NUM_LIMBS, P
 from ..ops import field_ops as fo
@@ -113,7 +113,7 @@ class ShardedFold:
                 PS(None, None),
             ),
             out_specs=PS(None, axis, None),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(fn)(
             codeword,

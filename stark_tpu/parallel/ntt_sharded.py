@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..field import FieldElement
 from ..params import NUM_LIMBS, P
@@ -142,7 +142,7 @@ class ShardedNTT:
             mesh=self.mesh,
             in_specs=PS(None, None, axis),
             out_specs=out_spec,
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(fn)
 
