@@ -129,9 +129,24 @@ def _bench_fold(logn=20, iters=5):
     return n / dt
 
 
+def _bench_batch_throughput(n=32):
+    from stark_tpu.field import FieldElement
+    from stark_tpu.models.rescue_stark import RescueStark
+
+    model = RescueStark()
+    inputs = [FieldElement(5000 + i) for i in range(n)]
+    model.prove(inputs[0])  # warm caches
+    t0 = time.perf_counter()
+    results = model.prove_batch(inputs)
+    dt = time.perf_counter() - t0
+    assert model.verify(*results[0])
+    return n / dt
+
+
 def main():
     t_start = time.time()
     prove_s, verify_s, proof_bytes = _bench_prove()
+    proofs_per_s = _bench_batch_throughput()
     ntt_throughput, ntt_s = _bench_ntt()
     rescue_throughput = _bench_rescue()
     fold_throughput = _bench_fold()
@@ -148,6 +163,7 @@ def main():
             "ntt_2e20_coeffs_per_s_per_chip": round(ntt_throughput),
             "ntt_2e20_seconds": round(ntt_s, 4),
             "rescue_hashes_per_s": round(rescue_throughput),
+            "stark_proofs_per_s_single_process": round(proofs_per_s, 1),
             "fri_fold_2e20_elems_per_s": round(fold_throughput),
             "bench_total_s": round(time.time() - t_start, 1),
         },

@@ -76,7 +76,10 @@ class RescueStark:
         self, inputs: Sequence[FieldElement]
     ) -> List[Tuple[FieldElement, bytes]]:
         """Prove many instances; witness generation is batched on device
-        when a backend is attached."""
+        when a backend is attached.  Each proof is an independent
+        Fiat-Shamir transcript, exactly as in the reference protocol —
+        there is no cross-instance aggregation, so instances can also be
+        distributed across processes/hosts by the caller."""
         inputs = list(inputs)
         if self.backend is not None and len(inputs) > 1:
             raw = self.backend.rescue_trace([x.value for x in inputs])
@@ -91,9 +94,11 @@ class RescueStark:
             traces = [self.rescue.trace(x) for x in inputs]
 
         results = []
-        for x, trace in zip(inputs, traces):
+        for trace in traces:
             output = FieldElement(trace[-1][0].value)
             boundary = self.rescue.boundary_constraints(output)
             proof = self.stark.prove(trace, self._air, boundary)
             results.append((output, proof))
         return results
+
+

@@ -120,6 +120,31 @@ def json_field_element(x: IntLike) -> str:
     return '{"value":["%s",[%s]]}' % (sign, ",".join(str(d) for d in digits))
 
 
+class MalformedProofData(ValueError):
+    """Raised when transcript objects fail to parse.
+
+    A subclass of ValueError so protocol-level error handling can treat
+    every wire-format problem uniformly; raised for ANY structural issue
+    (fuzzing showed e.g. a bit-flipped JSON int becoming a float and
+    escaping as TypeError otherwise)."""
+
+
+def _parse_guard(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MalformedProofData:
+            raise
+        except (ValueError, TypeError, KeyError, IndexError, RecursionError) as exc:
+            raise MalformedProofData(f"{fn.__name__}: {exc}") from exc
+
+    return wrapper
+
+
+@_parse_guard
 def json_parse_field_element(s: str) -> FieldElement:
     obj = json.loads(s)
     return _field_element_from_obj(obj)
@@ -129,7 +154,9 @@ def _field_element_from_obj(obj) -> FieldElement:
     sign, digits = obj["value"]
     v = 0
     for i, d in enumerate(digits):
-        v |= int(d) << (32 * i)
+        if not isinstance(d, int):
+            raise MalformedProofData("non-integer digit")
+        v |= d << (32 * i)
     if sign == "Minus":
         v = -v
     return FieldElement(v)
@@ -141,6 +168,7 @@ def json_field_element_vec(xs: Sequence[IntLike]) -> str:
     return "[%s]" % ",".join(json_field_element(x) for x in xs)
 
 
+@_parse_guard
 def json_parse_field_element_vec(s: str) -> List[FieldElement]:
     return [_field_element_from_obj(o) for o in json.loads(s)]
 
@@ -151,8 +179,11 @@ def json_string_triple(a: str, b: str, c: str) -> str:
     return json.dumps((a, b, c), separators=(",", ":"))
 
 
+@_parse_guard
 def json_parse_string_triple(s: str) -> Tuple[str, str, str]:
     a, b, c = json.loads(s)
+    if not all(isinstance(x, str) for x in (a, b, c)):
+        raise MalformedProofData("triple entries must be strings")
     return a, b, c
 
 
@@ -165,5 +196,6 @@ def json_hash_path(path: Sequence[bytes]) -> str:
     )
 
 
+@_parse_guard
 def json_parse_hash_path(s: str) -> List[bytes]:
     return [bytes(arr) for arr in json.loads(s)]

@@ -1,0 +1,69 @@
+"""Verifier robustness fuzzing: arbitrary proof mutations must produce a
+clean rejection (False or a parse error), never a crash, hang, or
+acceptance."""
+
+import random
+
+import pytest
+
+from stark_tpu.field import FieldElement
+from stark_tpu.models.rescue_stark import RescueStark
+from stark_tpu.proof_stream import ProofStream
+from stark_tpu.rng import DeterministicRandom
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = RescueStark(rng=DeterministicRandom(99))
+    x = FieldElement(424242)
+    output, proof = model.prove(x)
+    assert model.verify(output, proof)
+    return model, output, proof
+
+
+def test_random_byte_flips_rejected(setup):
+    model, output, proof = setup
+    rng = random.Random(0)
+    for _ in range(20):
+        mutated = bytearray(proof)
+        for _ in range(rng.randrange(1, 4)):
+            pos = rng.randrange(len(mutated))
+            mutated[pos] ^= 1 << rng.randrange(8)
+        assert not model.verify(output, bytes(mutated))
+
+
+def test_truncations_rejected(setup):
+    model, output, proof = setup
+    rng = random.Random(1)
+    for _ in range(10):
+        cut = rng.randrange(len(proof))
+        assert not model.verify(output, proof[:cut])
+
+
+def test_object_level_mutations_rejected(setup):
+    model, output, proof = setup
+    rng = random.Random(2)
+    objects = ProofStream.deserialize(proof).objects
+    for _ in range(15):
+        mutated = list(objects)
+        op = rng.randrange(4)
+        idx = rng.randrange(len(mutated))
+        if op == 0:
+            del mutated[idx]
+        elif op == 1:
+            mutated.insert(idx, mutated[idx])
+        elif op == 2:
+            mutated[idx] = ""
+        else:
+            mutated[idx], mutated[-1] = mutated[-1], mutated[idx]
+        assert not model.verify(
+            output, ProofStream(mutated).serialize()
+        )
+
+
+def test_garbage_inputs_rejected(setup):
+    model, output, _ = setup
+    rng = random.Random(3)
+    for size in [0, 1, 7, 8, 100, 10_000]:
+        blob = bytes(rng.randrange(256) for _ in range(size))
+        assert not model.verify(output, blob)
