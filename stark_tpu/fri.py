@@ -23,7 +23,7 @@ kernel.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from .field import FieldElement
 from .hashing import blake2b_512

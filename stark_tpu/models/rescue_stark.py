@@ -14,7 +14,7 @@ first-class, batchable object:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from ..field import FieldElement
 from ..rescue_prime import RescuePrime

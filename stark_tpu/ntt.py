@@ -21,7 +21,7 @@ from functools import lru_cache
 from typing import List, Sequence
 
 from .field import FieldElement
-from .params import P, TWO_ADICITY
+from .params import P
 
 
 @lru_cache(maxsize=64)

@@ -28,7 +28,6 @@ reference: field.rs:16-147.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

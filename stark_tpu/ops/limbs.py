@@ -14,7 +14,7 @@ bits of slack before propagation is required (see
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -21,11 +21,8 @@ XLA path is pinned by tests (interpret mode on CPU, compiled on TPU).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..params import LIMB_BITS, LIMB_MASK, NUM_LIMBS, P, P_TOP
 from . import field_ops as fo

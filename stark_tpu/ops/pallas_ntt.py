@@ -33,15 +33,14 @@ transforms (the XLA path remains for small sizes and as fallback).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Optional
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..field import FieldElement
-from ..params import NUM_LIMBS, P, R_MOD_P
+from ..params import NUM_LIMBS, P
 from . import field_ops as fo
 from .ntt import _bit_reverse_indices, _mont_pack, _power_table
 from .pallas_fold import _k_add, _k_mont_mul, _k_sub

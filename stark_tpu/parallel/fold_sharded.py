@@ -20,15 +20,13 @@ regardless of n.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+from jax.sharding import Mesh, PartitionSpec as PS
 from jax import shard_map
 
-from ..params import NUM_LIMBS, P
+from ..params import P
 from ..ops import field_ops as fo
 from ..ops.ntt import _mont_pack, _power_table
 

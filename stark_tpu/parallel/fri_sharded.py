@@ -24,7 +24,7 @@ meshes (one host, N chips) need none of that.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

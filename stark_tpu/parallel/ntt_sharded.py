@@ -32,7 +32,6 @@ O(n) host table).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax

@@ -31,7 +31,7 @@ folding, and hashing fan out to the TPU.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from .field import FieldElement
 from .fri import Fri
