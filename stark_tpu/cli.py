@@ -71,10 +71,16 @@ def main(argv=None) -> int:
     from stark_tpu.field import FieldElement
     from stark_tpu.params import GENERATOR, P
 
+    def parse_element(text: str, what: str) -> FieldElement:
+        try:
+            return FieldElement(int(text, 0))
+        except ValueError:
+            parser.error(f"{what} must be an integer, got {text!r}")
+
     if args.command == "hash":
         from stark_tpu.rescue_prime import RescuePrime
 
-        out = RescuePrime().hash(FieldElement(int(args.input, 0)))
+        out = RescuePrime().hash(parse_element(args.input, "--input"))
         print(out.value)
         return 0
 
@@ -94,7 +100,7 @@ def main(argv=None) -> int:
     model = _build_model(args)
 
     if args.command == "prove":
-        x = FieldElement(int(args.input, 0))
+        x = parse_element(args.input, "--input")
         t0 = time.perf_counter()
         output, proof = model.prove(x)
         dt = time.perf_counter() - t0
@@ -116,7 +122,7 @@ def main(argv=None) -> int:
         with open(args.proof, "rb") as f:
             proof = f.read()
         t0 = time.perf_counter()
-        ok = model.verify(FieldElement(int(args.output, 0)), proof)
+        ok = model.verify(parse_element(args.output, "--output"), proof)
         dt = time.perf_counter() - t0
         print(json.dumps({"valid": bool(ok), "verify_seconds": round(dt, 3)}))
         return 0 if ok else 1
