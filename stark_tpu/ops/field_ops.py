@@ -269,34 +269,71 @@ def mont_pow_fixed(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
     """a~ ^ exponent (result in Montgomery form) for a static Python-int
     exponent.
 
-    MSB-first square-and-multiply, flattened into a schedule of single
-    `mont_mul` steps: each step multiplies the accumulator by either itself
-    (square) or the base, chosen by a static per-step flag.  Exactly ONE
-    mont_mul per scan step matters: XLA fuses a one-multiply body into a
-    single tight loop, while a two-multiply body falls off the fusion
-    cliff (measured ~500x slower on the CPU backend).
+    Small exponents: MSB-first square-and-multiply flattened to single
+    `mont_mul` steps.  Large exponents (>= 2^32, e.g. the Rescue inverse
+    S-box's 1/3 and Fermat's p-2): 4-bit windowed exponentiation — a
+    15-entry power table built up front, then per hex digit 4 squarings
+    plus at most one multiply by a table entry, ~31% fewer multiplies
+    than binary (127 sq + ~32 muls + 14 table muls for 128-bit
+    exponents).
+
+    Either way the scan body contains exactly ONE mont_mul: XLA fuses a
+    one-multiply body into a tight loop, while a two-multiply body falls
+    off the fusion cliff (measured ~500x slower on the CPU backend).
 
     jit-cached per (shape, exponent) so repeated calls do not retrace."""
     if exponent == 0:
         return mont_one(a)
     if exponent == 1:
         return a
-    bits = bin(exponent)[2:]
-    # schedule[i] == True -> square (acc *= acc); False -> acc *= base
-    schedule = []
-    for bit in bits[1:]:
-        schedule.append(True)
-        if bit == "1":
-            schedule.append(False)
-    flags = jnp.asarray(np.array(schedule, dtype=np.bool_))
+    if exponent < (1 << 32):
+        bits = bin(exponent)[2:]
+        # schedule[i] == True -> square (acc *= acc); False -> acc *= base
+        schedule = []
+        for bit in bits[1:]:
+            schedule.append(True)
+            if bit == "1":
+                schedule.append(False)
+        flags = jnp.asarray(np.array(schedule, dtype=np.bool_))
 
-    def step(carry, is_sqr):
-        acc, base = carry
-        operand = jnp.where(is_sqr, acc, base)
-        acc = _mont_mul_raw(acc, operand)
-        return (acc, base), None
+        def step(carry, is_sqr):
+            acc, base = carry
+            operand = jnp.where(is_sqr, acc, base)
+            acc = _mont_mul_raw(acc, operand)
+            return (acc, base), None
 
-    (acc, _), _ = jax.lax.scan(step, (a, a), flags)
+        (acc, _), _ = jax.lax.scan(step, (a, a), flags)
+        return acc
+
+    # windowed: powers[k] = a^(k+1), k = 0..14 (table built up front)
+    powers = [a]
+    for _ in range(14):
+        powers.append(_mont_mul_raw(powers[-1], a))
+
+    digits = []
+    e = exponent
+    while e:
+        digits.append(e & 0xF)
+        e >>= 4
+    digits.reverse()  # MSB-first; digits[0] != 0
+
+    def sqr4(acc):
+        # four squarings as one tiny single-multiply scan (keeps every
+        # scan body at one mont_mul; see the fusion-cliff note above)
+        def step(x, _):
+            return _mont_mul_raw(x, x), None
+
+        out, _ = jax.lax.scan(step, acc, None, length=4)
+        return out
+
+    # per hex digit: 4 squarings, then a multiply by a STATIC table entry
+    # (the exponent is static, so no per-step gathers — a dynamic-indexed
+    # table variant measured slower on TPU than the multiplies it saved)
+    acc = powers[digits[0] - 1]
+    for d in digits[1:]:
+        acc = sqr4(acc)
+        if d:
+            acc = _mont_mul_raw(acc, powers[d - 1])
     return acc
 
 
