@@ -223,7 +223,7 @@ class PallasNTT:
         tiled = jnp.asarray(_tile_small_twiddles(self._tw_R[inverse], b))
         w_table = self._w_table(inverse)
 
-        def kernel(x_ref, prow_ref, pcol_ref, tw_ref, tiled_ref, o_ref):
+        def kernel(x_ref, prow_ref, pcol_ref, tw_ref, tiled_ref, w_ref, o_ref):
             xv = x_ref[...]
             pr = jnp.broadcast_to(prow_ref[...][:, :, None], xv.shape)
             pc = jnp.broadcast_to(pcol_ref[...][:, None, :], xv.shape)
@@ -234,6 +234,10 @@ class PallasNTT:
                     o_ref[...], tw_ref[...], tiled_ref[...], length
                 )
                 length *= 2
+            # inter-pass twiddle fused as the epilogue (fits under the
+            # raised VMEM limit; saves a full HBM round trip vs a
+            # separate elementwise pass)
+            o_ref[...] = _k_mont_mul(o_ref[...], w_ref[...])
 
         grid = (c // b,)
         data_spec = pl.BlockSpec(
@@ -249,22 +253,19 @@ class PallasNTT:
             (NUM_LIMBS, r), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         tiled_spec = pl.BlockSpec(
-            (NUM_LIMBS, 16, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (NUM_LIMBS, 8, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, r, c), jnp.uint32),
             grid=grid,
-            in_specs=[data_spec, row_spec, col_spec, tw_spec, tiled_spec],
+            in_specs=[data_spec, row_spec, col_spec, tw_spec, tiled_spec, data_spec],
             out_specs=data_spec,
             input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
-        )(x, prow, pcol, tw, tiled)
-        # inter-pass twiddle as one fused XLA elementwise pass (keeping it
-        # in the kernel epilogue pushes the block over the VMEM budget)
-        return fo.mont_mul(out, w_table)
+        )(x, prow, pcol, tw, tiled, w_table)
 
     def _pass2(self, y: jnp.ndarray, inverse: bool, erow, ecol) -> jnp.ndarray:
         """Row NTTs (+ optional epilogue row/col multipliers).
