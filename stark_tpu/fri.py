@@ -57,7 +57,16 @@ def sample_indices(
     seed: bytes, size: int, reduced_size: int, number: int
 ) -> List[int]:
     """Blake2b-512(seed || counter) index stream, deduplicated by reduced
-    index (reference: fri.rs:54-78)."""
+    index (reference: fri.rs:54-78).
+
+    Guard the reference lacks: asking for more samples than there are
+    distinct reduced indices loops forever there (fri.rs:59); here it is
+    a clear error."""
+    if number > reduced_size:
+        raise ValueError(
+            f"cannot sample {number} indices with only {reduced_size} "
+            "distinct reduced indices"
+        )
     indices: List[int] = []
     reduced_indices: List[int] = []
     counter = 0

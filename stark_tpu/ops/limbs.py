@@ -32,18 +32,20 @@ def pack(values: Sequence[int]) -> np.ndarray:
 
 
 def unpack(arr) -> List[int]:
-    """uint32 (8, N) limb array -> list of Python ints."""
-    a = np.asarray(arr, dtype=np.uint64)
+    """uint32 (8, N) limb array -> list of Python ints.
+
+    Vectorized through a little-endian byte buffer: one numpy transpose +
+    one int.from_bytes per element (the per-limb Python loop this
+    replaced dominated host<->device conversion at large sizes)."""
+    a = np.asarray(arr, dtype=np.uint32)
     if a.ndim == 1:
         a = a[:, None]
-    n = a.shape[1]
-    out = []
-    for i in range(n):
-        v = 0
-        for l in range(NUM_LIMBS - 1, -1, -1):
-            v = (v << LIMB_BITS) | int(a[l, i] & LIMB_MASK)
-        out.append(v)
-    return out
+    n = a.shape[-1]
+    u16 = np.ascontiguousarray((a & LIMB_MASK).T.astype("<u2"))  # (N, 8)
+    buf = u16.tobytes()
+    return [
+        int.from_bytes(buf[16 * i : 16 * i + 16], "little") for i in range(n)
+    ]
 
 
 def pack_scalar(value: int) -> np.ndarray:
