@@ -258,12 +258,45 @@ def bench_ntt(max_logn=20):
     return out
 
 
+def bench_sharded(max_logn=16):
+    """Mesh-sharded four-step NTT on virtual CPU devices.
+
+    Correctness-scale only: virtual devices share physical cores, so
+    these are NOT weak-scaling numbers — they validate the sharded code
+    paths end-to-end and report the per-transform cross-chip
+    communication volume (which IS exact)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from stark_tpu.parallel import ShardedNTT, cpu_mesh
+
+    out = {}
+    n = 1 << min(max_logn, 16)
+    for d in [1, 2, 4, 8]:
+        if len(jax.devices("cpu")) < d:
+            out[f"skipped_d{d}"] = "not enough virtual devices (set XLA_FLAGS)"
+            continue
+        mesh = cpu_mesh(d)
+        sntt = ShardedNTT(n, mesh)
+        rng = np.random.default_rng(0)
+        mat = rng.integers(0, 1 << 16, (8, sntt.R, sntt.C), dtype=np.uint32)
+        x = sntt.shard_input(mat)
+        jax.block_until_ready(sntt.forward(x))
+        dt = timeit(lambda: jax.block_until_ready(sntt.forward(x)), repeat=3)
+        out[f"sharded_ntt_2e{n.bit_length()-1}_d{d}"] = dt
+        out[f"bytes_per_chip_per_transform_d{d}"] = 32 * n // d
+    return out
+
+
 SUITES = {
     "field": bench_field,
     "poly": bench_poly,
     "fri": bench_fri,
     "stark": bench_stark,
     "ntt": bench_ntt,
+    "sharded": bench_sharded,
 }
 
 
@@ -278,7 +311,7 @@ def main():
     all_results = {}
     for name in names:
         fn = SUITES[name]
-        kwargs = {"max_logn": args.max_logn} if name == "ntt" else {}
+        kwargs = {"max_logn": args.max_logn} if name in ("ntt", "sharded") else {}
         t0 = time.time()
         results = fn(**kwargs)
         results["_suite_wall_s"] = round(time.time() - t0, 1)
