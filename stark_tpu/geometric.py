@@ -74,10 +74,14 @@ def detect_ratio(xs: Sequence[int]) -> Optional[int]:
     return q
 
 
-def _chirp_eval(coeffs: Sequence[int], q: int, m: int) -> List[int]:
+def _chirp_eval(
+    coeffs: Sequence[int], q: int, m: int, multiply=None
+) -> List[int]:
     """[p(q^t) for t < m] where p has the given coefficients (low-first)."""
     from .ntt import poly_multiply
 
+    if multiply is None:
+        multiply = poly_multiply
     n = len(coeffs)
     if n == 0:
         return [0] * m
@@ -85,7 +89,7 @@ def _chirp_eval(coeffs: Sequence[int], q: int, m: int) -> List[int]:
     f = [coeffs[j] * pow(q_inv, _tri(j), P) % P for j in range(n)]
     g = [pow(q, _tri(k), P) for k in range(n + m - 1)]
     fr = f[::-1]
-    conv = poly_multiply(fr, g)
+    conv = multiply(fr, g)
     return [
         pow(q_inv, _tri(t), P) * conv[n - 1 + t] % P for t in range(m)
     ]
@@ -107,11 +111,20 @@ def geometric_evaluate(
 
 
 def geometric_interpolate(
-    xs: Sequence[int], ys: Sequence[int], q: Optional[int] = None
+    xs: Sequence[int],
+    ys: Sequence[int],
+    q: Optional[int] = None,
+    multiply=None,
 ) -> List[int]:
     """Coefficients (low-first) of the unique interpolant through
-    (xs[i], ys[i]) where xs is a geometric progression."""
+    (xs[i], ys[i]) where xs is a geometric progression.
+
+    ``multiply`` overrides the polynomial-product primitive (e.g. a
+    device-NTT multiplier from the backend); results are identical."""
     from .ntt import poly_multiply
+
+    if multiply is None:
+        multiply = poly_multiply
 
     n = len(xs)
     if n == 0:
@@ -146,7 +159,7 @@ def geometric_interpolate(
     u = [ys[i] % P * d_inv[i] % P for i in range(n)]
 
     # h_t = sum_i u_i q^{it}  (chirp evaluation of u at q^t)
-    h = _chirp_eval(u, q, n)
+    h = _chirp_eval(u, q, n, multiply)
 
     # vanishing polynomial Z(x) = prod (x - q^i) via q-binomials
     # C_q(n, k) = factN / (fact[k] * fact[n-k]) with fact extended to n
@@ -162,7 +175,7 @@ def geometric_interpolate(
         z[k] = coeff
 
     # N_d = sum_t Z_{d+1+t} h_t  — correlation of Z against h
-    conv = poly_multiply(z, h[::-1])
+    conv = multiply(z, h[::-1])
     g_coeffs = [conv[d_ + n] for d_ in range(n)]
 
     if start != 1:

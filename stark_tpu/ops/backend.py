@@ -79,6 +79,28 @@ class JaxBackend:
         out = fo.from_mont(plan.coset_inverse(a, offset % P))
         return unpack(np.asarray(jax.device_get(out)))
 
+    def poly_multiply(self, a: Sequence[int], b: Sequence[int]) -> List[int]:
+        """Polynomial product via device NTTs (used e.g. by the
+        geometric-progression interpolation chirps on long traces)."""
+        if not a or not b:
+            return []
+        result_size = len(a) + len(b) - 1
+        n = 1 << (result_size - 1).bit_length()
+        if n < self.min_device_size:
+            from ..ntt import poly_multiply
+
+            return poly_multiply(list(a), list(b))
+        plan = best_plan(n)
+        fa = fo.to_mont(
+            jax.numpy.asarray(pack(list(a) + [0] * (n - len(a))))
+        )
+        fb = fo.to_mont(
+            jax.numpy.asarray(pack(list(b) + [0] * (n - len(b))))
+        )
+        prod = plan.inverse(fo.mont_mul(plan.forward(fa), plan.forward(fb)))
+        out = unpack(np.asarray(jax.device_get(fo.from_mont(prod))))
+        return out[:result_size]
+
     def fri_fold(
         self, codeword: Sequence[int], alpha: int, offset: int, omega: int
     ) -> List[int]:

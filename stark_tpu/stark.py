@@ -228,6 +228,22 @@ class Stark:
     # prover (reference: stark.rs:223-471)
     # ------------------------------------------------------------------
 
+    def _interpolate_trace(self, trace_domain, column) -> Polynomial:
+        """Interpolate one trace column; device chirp products when a
+        backend is attached and the trace is long."""
+        if self.backend is not None and len(trace_domain) > 256:
+            from .geometric import geometric_interpolate
+
+            xs = [fe.value for fe in trace_domain]
+            ys = [fe.value for fe in column]
+            return Polynomial(
+                geometric_interpolate(
+                    xs, ys, self.omicron.value,
+                    multiply=self.backend.poly_multiply,
+                )
+            )
+        return Polynomial.lagrange(trace_domain, column)
+
     def _rs_extend(self, poly: Polynomial, fri_domain) -> List[int]:
         """Reed-Solomon-extend a polynomial onto the FRI coset, on device
         when a backend is attached (bit-equal either way)."""
@@ -481,11 +497,15 @@ class Stark:
             )
 
         # interpolate trace polynomials over {omicron^i, i < len(trace)}
+        # (a geometric progression: O(n log n) chirp interpolation, with
+        # the chirp products on device for long traces)
         trace_domain = [self.omicron.pow(i) for i in range(len(trace))]
         trace_polynomials = []
         for s in range(self.num_registers):
             column = [trace[c][s] for c in range(len(trace))]
-            trace_polynomials.append(Polynomial.lagrange(trace_domain, column))
+            trace_polynomials.append(
+                self._interpolate_trace(trace_domain, column)
+            )
 
         # boundary quotients (exact division)
         interpolants = self.boundary_interpolants(boundary)
