@@ -110,6 +110,36 @@ def geometric_evaluate(
     return _chirp_eval(scaled, q, m)
 
 
+def geometric_zeroifier(start: int, q: int, n: int) -> List[int]:
+    """Coefficients (low-first) of prod_{i<n} (x - start * q^i) via the
+    q-binomial theorem — O(n) instead of the O(n^2) incremental product
+    (the STARK transition zeroifier over {omicron^i} is exactly this).
+
+    prod (x - q^i) = sum_k (-1)^{n-k} q^{T(n-k)} C_q(n,k) x^k, and a
+    start factor rescales coefficient k by start^{n-k}."""
+    if n == 0:
+        return [1]
+    q %= P
+    start %= P
+    fact = [1] * (n + 1)
+    power = q
+    for k in range(1, n + 1):
+        fact[k] = fact[k - 1] * ((power - 1) % P) % P
+        power = power * q % P
+    inv_fact = _batch_inverse(fact)
+    z = [0] * (n + 1)
+    spow = [1] * (n + 1)  # start^j
+    for j in range(1, n + 1):
+        spow[j] = spow[j - 1] * start % P
+    for k in range(n + 1):
+        cq = fact[n] * inv_fact[k] % P * inv_fact[n - k] % P
+        coeff = pow(q, _tri(n - k), P) * cq % P
+        if (n - k) & 1:
+            coeff = (-coeff) % P
+        z[k] = coeff * spow[n - k] % P
+    return z
+
+
 def geometric_interpolate(
     xs: Sequence[int],
     ys: Sequence[int],

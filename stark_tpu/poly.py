@@ -156,10 +156,20 @@ class Polynomial:
     @staticmethod
     def zeroifier_domain(domain: Sequence[CoeffLike]) -> "Polynomial":
         """Vanishing polynomial prod (x - d_i)
-        (reference: univariate_poly.rs:254-264)."""
+        (reference: univariate_poly.rs:254-264).
+
+        Geometric-progression domains (e.g. the STARK transition
+        zeroifier over {omicron^i}) use the O(n) q-binomial closed form
+        instead of the O(n^2) incremental product."""
+        vals = [_to_int(d) for d in domain]
+        if len(vals) > 64:
+            from .geometric import detect_ratio, geometric_zeroifier
+
+            q = detect_ratio(vals)
+            if q is not None:
+                return Polynomial(geometric_zeroifier(vals[0], q, len(vals)))
         acc = [1]
-        for d in domain:
-            dv = _to_int(d)
+        for dv in vals:
             # multiply acc by (x - d): shift up + subtract d*acc
             nxt = [0] + acc
             for i in range(len(acc)):

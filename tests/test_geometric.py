@@ -54,3 +54,25 @@ def test_lagrange_dispatches_to_geometric():
     for i in [0, 1, 100, n - 1]:
         assert poly.eval(xs[i]).value == ys[i]
     assert poly.degree() <= n - 1
+
+
+def test_geometric_zeroifier_matches_product():
+    from stark_tpu.geometric import geometric_zeroifier
+
+    rng = random.Random(4)
+    om = FieldElement.primitive_nth_root(1 << 11).value
+    for n, start in [(1, 1), (5, 1), (40, 1), (40, 777), (100, 3)]:
+        xs = [start * pow(om, i, P) % P for i in range(n)]
+        # O(n^2) incremental reference product
+        acc = [1]
+        for x in xs:
+            nxt = [0] + acc
+            for i in range(len(acc)):
+                nxt[i] = (nxt[i] - x * acc[i]) % P
+            acc = nxt
+        got = geometric_zeroifier(start, om, n)
+        assert got == acc, (n, start)
+        # and the auto-dispatching Polynomial path agrees and vanishes
+        z = Polynomial.zeroifier_domain(xs)
+        assert z == Polynomial(acc)
+        assert z.eval(xs[0]).value == 0
