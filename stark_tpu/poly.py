@@ -141,11 +141,12 @@ class Polynomial:
                 return Polynomial(NTT(n).interpolate(ys))
             if kind is not None:
                 return Polynomial(NTT(n).coset_interpolate(ys, kind))
-        if n > 64:
+        if n > 24:
             # geometric progressions (e.g. the STARK trace domain
             # {omicron^i, i < trace_length}) interpolate in O(n log n)
             # via the chirp/q-binomial method — the reference is O(n^2)
-            # here (univariate_poly.rs:147-164)
+            # here (univariate_poly.rs:147-164); the chirp wins from a few
+            # dozen points up (measured ~4x at the 36-point trace domain)
             from .geometric import detect_ratio, geometric_interpolate
 
             q = detect_ratio(xs)
