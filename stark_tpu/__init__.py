@@ -38,6 +38,27 @@ __all__ = [
     "DeterministicRandom",
     "RecordedRandom",
     "os_random_bytes",
+    "RescueStark",
+    "FibonacciStark",
+    "JaxBackend",
 ]
+
+
+def __getattr__(name):
+    # lazy convenience exports (importing the device backend pulls in jax;
+    # keep plain-protocol imports light)
+    if name == "RescueStark":
+        from .models.rescue_stark import RescueStark
+
+        return RescueStark
+    if name == "FibonacciStark":
+        from .models.fibonacci import FibonacciStark
+
+        return FibonacciStark
+    if name == "JaxBackend":
+        from .ops.backend import JaxBackend
+
+        return JaxBackend
+    raise AttributeError(f"module 'stark_tpu' has no attribute {name!r}")
 
 __version__ = "0.1.0"
