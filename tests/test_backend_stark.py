@@ -49,3 +49,18 @@ def test_backend_fri_fold_dispatch():
     assert dev_fri._fold(codeword, alpha, g.value, omega.value) == host_fri._fold(
         codeword, alpha, g.value, omega.value
     )
+
+
+def test_backend_poly_multiply_matches_host():
+    import random
+
+    from stark_tpu.ntt import poly_multiply
+    from stark_tpu.params import P
+
+    rng = random.Random(21)
+    backend = JaxBackend()
+    for la, lb in [(1, 1), (40, 17), (5000, 5000)]:
+        a = [rng.randrange(P) for _ in range(la)]
+        b = [rng.randrange(P) for _ in range(lb)]
+        assert backend.poly_multiply(a, b) == poly_multiply(a, b)
+    assert backend.poly_multiply([], [1]) == []

@@ -106,3 +106,21 @@ def test_stark_hash_chain_two_links():
         boundary = rp.boundary_constraints(output)
         proof = stark.prove(trace, air, boundary)
         assert stark.verify(proof, air, boundary)
+
+
+def test_recorded_randomness_replays_proof():
+    """RecordedRandom replays another prover's randomness draws for
+    byte-exact cross-prover reproduction (the cross-verification seam,
+    see docs/TRANSCRIPT_COMPAT.md)."""
+    from stark_tpu.rng import DeterministicRandom, RecordedRandom
+
+    rp, stark, trace, air, boundary = _setup(rng=DeterministicRandom(31))
+    proof = stark.prove(trace, air, boundary)
+
+    # capture the draws the deterministic rng produced...
+    drbg = DeterministicRandom(31)
+    draws = [drbg(17) for _ in range(stark.num_randomizers * rp.m + 200)]
+    # ...and replay them through a RecordedRandom
+    _, stark2, _, _, _ = _setup(rng=RecordedRandom(draws))
+    proof2 = stark2.prove(trace, air, boundary)
+    assert proof2 == proof
