@@ -339,6 +339,36 @@ class Stark:
                     (tail, self._rs_extend(Polynomial(coeffs), fri_domain))
                 )
             cached = cache[key] = group_codewords
+
+        if n >= 4096:
+            # vectorized numpy column algebra (bit-identical; see hostops)
+            from . import hostops as ho
+
+            state_np = [ho.to_mont(col) for col in state_columns]
+            pow_cache_np = {}
+
+            def pow_col_np(i: int, e: int):
+                if e == 1:
+                    return state_np[i]
+                k = (i, e)
+                if k not in pow_cache_np:
+                    half = pow_col_np(i, e // 2)
+                    sq = ho.mul(half, half)
+                    if e & 1:
+                        sq = ho.mul(sq, state_np[i])
+                    pow_cache_np[k] = sq
+                return pow_cache_np[k]
+
+            acc = None
+            for tail, base_codeword in cached:
+                term = ho.to_mont(base_codeword)
+                for i, e in enumerate(tail):
+                    if e == 0:
+                        continue
+                    term = ho.mul(term, pow_col_np(i, e))
+                acc = term if acc is None else ho.add(acc, term)
+            return ho.from_mont(acc)
+
         pow_cache = {}
 
         def pow_col(i: int, e: int) -> List[int]:
@@ -450,6 +480,28 @@ class Stark:
                 out[i] = cur
                 cur = cur * base % P
             return out
+
+        if n >= 4096:
+            # vectorized numpy column algebra (bit-identical; see hostops)
+            from . import hostops as ho
+
+            w0 = ho.to_mont([weights[0].value])
+            comb = ho.mul(w0, ho.to_mont(randomizer_codeword))
+            widx = 1
+            terms = [
+                (tq_codewords, tq_bounds),
+                (boundary_quotient_codewords, bq_bounds),
+            ]
+            for codewords, bounds in terms:
+                for i, cw in enumerate(codewords):
+                    w1 = ho.to_mont([weights[widx].value])
+                    w2 = ho.to_mont([weights[widx + 1].value])
+                    widx += 2
+                    cw_np = ho.to_mont(cw)
+                    xs_np = ho.to_mont(shift_column(max_degree - bounds[i]))
+                    comb = ho.add(comb, ho.mul(w1, cw_np))
+                    comb = ho.add(comb, ho.mul(w2, ho.mul(xs_np, cw_np)))
+            return ho.from_mont(comb)
 
         w0 = weights[0].value
         combination = [w0 * c % P for c in randomizer_codeword]
