@@ -81,6 +81,61 @@ def _ntt_in_place(a: List[int], inverse: bool) -> None:
         s += 1
 
 
+#: sizes at/above this run the vectorized numpy host transform
+_NUMPY_NTT_MIN = 4096
+
+
+@lru_cache(maxsize=16)
+def _np_tables(n: int, inverse: bool):
+    """Montgomery numpy twiddles + bit-reversal permutation for size n."""
+    import numpy as np
+
+    from . import hostops as ho
+
+    stages = [ho.to_mont(list(row)) for row in _twiddles(n, inverse)]
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return stages, rev
+
+
+def _ntt_numpy(a: List[int], inverse: bool) -> List[int]:
+    """Vectorized host NTT over hostops' uint64/32-bit-limb Montgomery
+    arrays — bit-identical to the scalar path, ~4x faster from a few
+    thousand points."""
+    import numpy as np
+
+    from . import hostops as ho
+
+    n = len(a)
+    stages, rev = _np_tables(n, inverse)
+    x = ho.to_mont(a)[:, rev]
+    length = 2
+    s = 0
+    while length <= n:
+        half = length // 2
+        g = n // length
+        xv = x.reshape(4, g, length)
+        u = np.ascontiguousarray(xv[:, :, :half]).reshape(4, -1)
+        v = np.ascontiguousarray(xv[:, :, half:]).reshape(4, -1)
+        tw = np.broadcast_to(
+            stages[s][:, None, :], (4, g, half)
+        ).reshape(4, -1)
+        v = ho.mul(v, tw)
+        x = np.concatenate(
+            [
+                ho.add(u, v).reshape(4, g, half),
+                ho.sub(u, v).reshape(4, g, half),
+            ],
+            axis=2,
+        ).reshape(4, n)
+        length *= 2
+        s += 1
+    return ho.from_mont(x)
+
+
 class NTT:
     """Number-theoretic transform of a fixed power-of-two size n <= 2^30.
 
@@ -102,6 +157,8 @@ class NTT:
         if len(coeffs) != self.n:
             raise ValueError("input size must match NTT size")
         a = [c % P for c in coeffs]
+        if self.n >= _NUMPY_NTT_MIN:
+            return _ntt_numpy(a, inverse=False)
         _ntt_in_place(a, inverse=False)
         return a
 
@@ -110,7 +167,10 @@ class NTT:
         if len(evals) != self.n:
             raise ValueError("input size must match NTT size")
         a = [e % P for e in evals]
-        _ntt_in_place(a, inverse=True)
+        if self.n >= _NUMPY_NTT_MIN:
+            a = _ntt_numpy(a, inverse=True)
+        else:
+            _ntt_in_place(a, inverse=True)
         n_inv = pow(self.n, -1, P)
         return [x * n_inv % P for x in a]
 
