@@ -64,6 +64,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("hash", help="compute a Rescue-Prime hash")
     p.add_argument("--input", required=True)
 
+    p = sub.add_parser("inspect", help="summarize a proof file's structure")
+    p.add_argument("--proof", required=True)
+
     p = sub.add_parser("info", help="print field/protocol parameters")
 
     args = parser.parse_args(argv)
@@ -82,6 +85,46 @@ def main(argv=None) -> int:
 
         out = RescuePrime().hash(parse_element(args.input, "--input"))
         print(out.value)
+        return 0
+
+    if args.command == "inspect":
+        from stark_tpu.proof_stream import ProofStream
+
+        with open(args.proof, "rb") as f:
+            data = f.read()
+        try:
+            objects = ProofStream.deserialize(data).objects
+        except ValueError as exc:
+            print(json.dumps({"error": f"malformed proof: {exc}"}))
+            return 1
+
+        def classify(obj: str) -> str:
+            if len(obj) == 64 and all(c in "0123456789abcdef" for c in obj):
+                return "merkle_root"
+            if obj.startswith('{"value"'):
+                return "leaf_value"
+            if obj.startswith('[{"value"'):
+                return "codeword"
+            if obj.startswith('["'):
+                return "colinearity_points"
+            if obj.startswith("[["):
+                return "auth_path"
+            return "other"
+
+        kinds = {}
+        for obj in objects:
+            k = classify(obj)
+            kinds[k] = kinds.get(k, 0) + 1
+        print(
+            json.dumps(
+                {
+                    "proof_bytes": len(data),
+                    "transcript_objects": len(objects),
+                    "object_kinds": kinds,
+                },
+                indent=2,
+            )
+        )
         return 0
 
     if args.command == "info":

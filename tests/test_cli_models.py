@@ -65,3 +65,19 @@ def test_cli_hash_and_info(capsys):
     assert cli_main(["info"]) == 0
     info = json.loads(capsys.readouterr().out)
     assert info["prime_formula"] == "1 + 407 * 2^119"
+
+
+def test_cli_inspect(tmp_path, capsys):
+    proof_file = str(tmp_path / "p.bin")
+    assert cli_main(["prove", "--input", "5", "--out", proof_file, "--seed", "1"]) == 0
+    capsys.readouterr()
+    assert cli_main(["inspect", "--proof", proof_file]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["object_kinds"]["merkle_root"] == 9  # 2 bq + randomizer + 6 FRI
+    assert out["transcript_objects"] == 90
+
+    bad = str(tmp_path / "bad.bin")
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    assert cli_main(["inspect", "--proof", bad]) == 1
+    assert "malformed" in json.loads(capsys.readouterr().out)["error"]
