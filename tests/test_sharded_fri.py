@@ -57,3 +57,25 @@ def test_sharded_extension_matches_host():
         fe.value for fe in Polynomial(coeffs).eval_domain(fri.eval_domain())
     ]
     assert got == want
+
+
+def test_sharded_fri_exhausts_device_folds():
+    """With few colinearity tests the fold cascade outruns the C axis
+    (more FRI rounds than log2(C)); the tail falls back to host folds and
+    the transcript must still match the host prover exactly."""
+    n = 1 << 12
+    fri = Fri(FieldElement.generator(), FieldElement.primitive_nth_root(n),
+              n, 4, 2)
+    assert fri.num_rounds() == 9  # folds (8) > log2(C) for the 8-dev split
+
+    rng = random.Random(5)
+    coeffs = [rng.randrange(P) for _ in range(n // 4)]
+    codeword = Polynomial(coeffs).eval_domain(fri.eval_domain())
+
+    ps_host = ProofStream()
+    fri.prove(codeword, ps_host)
+
+    sharded = ShardedFriProver(fri, cpu_mesh(8))
+    ps_dev = ProofStream()
+    sharded.prove_coefficients(coeffs, ps_dev)
+    assert ps_dev.serialize() == ps_host.serialize()
