@@ -97,3 +97,23 @@ def test_invalid_open_index():
     tree = MerkleTree([b"a", b"b"])
     with pytest.raises(IndexError):
         tree.open(2)
+
+
+def test_hashlib_fallback_matches_native(monkeypatch):
+    """Without the native C library, the pure-hashlib path must build
+    bit-identical trees (the native lib is a performance feature only)."""
+    import random
+
+    from stark_tpu import hashing
+    from stark_tpu.merkle import MerkleTree
+
+    rng = random.Random(9)
+    values = [rng.randrange(407 * 2**119 + 1) for _ in range(256)]
+    native_tree = MerkleTree.from_codeword(values)
+
+    monkeypatch.setattr(hashing, "_native", None)
+    fallback_tree = MerkleTree.from_codeword(values)
+    assert fallback_tree.root == native_tree.root
+    assert fallback_tree.levels == native_tree.levels
+    for i in [0, 100, 255]:
+        assert fallback_tree.open(i) == native_tree.open(i)

@@ -1,0 +1,32 @@
+"""Utility module tests: timers, profiling hooks, logging config."""
+
+import time
+
+from stark_tpu.utils import Timer, get_logger, profile_region
+
+
+def test_timer_regions():
+    t = Timer()
+    with t.region("a"):
+        time.sleep(0.01)
+    with t.region("a"):
+        pass
+    with t.region("b"):
+        pass
+    assert t.counts["a"] == 2
+    assert t.counts["b"] == 1
+    assert t.totals["a"] >= 0.01
+    report = t.report()
+    assert "a:" in report and "b:" in report
+
+
+def test_profile_region_noop_without_env(monkeypatch):
+    monkeypatch.delenv("STARK_TPU_PROFILE_DIR", raising=False)
+    with profile_region("x"):
+        pass  # must be a no-op without the env var
+
+
+def test_logger_is_quiet_by_default(capsys):
+    log = get_logger("stark_tpu.test")
+    log.info("should not appear at default level")
+    assert "should not appear" not in capsys.readouterr().err
