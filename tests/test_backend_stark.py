@@ -64,3 +64,22 @@ def test_backend_poly_multiply_matches_host():
         b = [rng.randrange(P) for _ in range(lb)]
         assert backend.poly_multiply(a, b) == poly_multiply(a, b)
     assert backend.poly_multiply([], [1]) == []
+
+
+def test_backend_rs_extend_restrict_round_trip():
+    """Device Reed-Solomon extension/restriction above the device-size
+    floor (8192) round-trips and matches the host NTT exactly."""
+    import random
+
+    from stark_tpu.ntt import NTT
+    from stark_tpu.params import GENERATOR, P
+
+    rng = random.Random(31)
+    backend = JaxBackend()
+    n = 8192
+    coeffs = [rng.randrange(P) for _ in range(n // 4)]
+    ext = backend.rs_extend(coeffs, n, GENERATOR)
+    assert ext == NTT(n).coset_evaluate(coeffs, GENERATOR)
+    back = backend.rs_restrict(ext, GENERATOR)
+    assert back[: len(coeffs)] == coeffs
+    assert all(c == 0 for c in back[len(coeffs):])
