@@ -59,9 +59,10 @@ def test_eval_domain():
 
 
 def test_fri_prove_verify():
-    """Full FRI round-trip on a degree-63 polynomial (reference scenario:
-    fri.rs:427-505, scaled from 512 to 256 for test speed; same structure)."""
-    degree = 63
+    """Full FRI round-trip on a degree-127 polynomial — the reference's
+    exact scenario shape (fri.rs:427-505: (degree+1)*expansion = 512,
+    17 colinearity tests), including the negative test."""
+    degree = 127
     expansion_factor = 4
     num_colinearity_tests = 17
     initial_codeword_length = (degree + 1) * expansion_factor
