@@ -182,10 +182,12 @@ class Fri:
         rounds = self.num_rounds()
         for r in range(rounds):
             n = len(codeword)
-            # omega must have order n (reference: fri.rs:116)
-            assert pow(omega, n - 1, P) == pow(omega, -1, P), (
-                "error in commit: omega does not have the right order"
-            )
+            # omega must have order n (reference: fri.rs:116); a typed error
+            # (not assert) so the invariant survives `python -O`
+            if pow(omega, n - 1, P) != pow(omega, -1, P):
+                raise ValueError(
+                    "error in commit: omega does not have the right order"
+                )
             tree = MerkleTree.from_codeword(codeword)
             trees.append(tree)
             proof_stream.push(tree.root.hex())
@@ -298,7 +300,11 @@ class Fri:
         for _ in range(rounds - 1):
             last_omega = last_omega * last_omega % P
             last_offset = last_offset * last_offset % P
-        assert pow(last_omega, -1, P) == pow(last_omega, len(last_codeword) - 1, P)
+        # the last codeword's length is proof-controlled: a crafted proof
+        # shortening it (with a consistent root) must be cleanly rejected,
+        # never crash the verifier (and `assert` would vanish under -O)
+        if pow(last_omega, -1, P) != pow(last_omega, len(last_codeword) - 1, P):
+            return False
 
         last_domain = []
         cur = last_offset

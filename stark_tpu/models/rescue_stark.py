@@ -66,7 +66,9 @@ class RescueStark:
         boundary = self.rescue.boundary_constraints(claimed_output)
         try:
             return self.stark.verify(proof, self._air, boundary)
-        except (ValueError, IndexError, KeyError) as exc:
+        except (ValueError, IndexError, KeyError, AssertionError) as exc:
+            # same filter as FibonacciStark: crafted proofs must yield a
+            # clean rejection, never a crash (ADVICE r1)
             log.debug("proof rejected while parsing: %s", exc)
             return False
 

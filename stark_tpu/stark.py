@@ -278,9 +278,12 @@ class Stark:
         tz = self.transition_zeroifier()
         transition_quotients = [tp / tz for tp in transition_polynomials]
 
-        assert [tq.degree() for tq in transition_quotients] == tq_bounds, (
-            "transition quotient degrees do not match degree bounds"
-        )
+        tq_degrees = [tq.degree() for tq in transition_quotients]
+        if tq_degrees != tq_bounds:
+            raise ValueError(
+                f"transition quotient degrees {tq_degrees} do not match "
+                f"degree bounds {tq_bounds}"
+            )
 
         terms: List[Polynomial] = [randomizer_poly]
         for i in range(len(transition_quotients)):
@@ -466,9 +469,11 @@ class Stark:
                 else ntt.coset_interpolate(tq_cw, g)
             )
             tq_degrees.append(Polynomial(coeffs).degree())
-        assert tq_degrees == tq_bounds, (
-            "transition quotient degrees do not match degree bounds"
-        )
+        if tq_degrees != tq_bounds:
+            raise ValueError(
+                f"transition quotient degrees {tq_degrees} do not match "
+                f"degree bounds {tq_bounds}"
+            )
 
         def shift_column(shift: int) -> List[int]:
             if shift == 0:

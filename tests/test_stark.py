@@ -73,11 +73,11 @@ def test_stark_rejects_tampered_trace():
     rp, stark, trace, air, boundary = _setup()
     trace = [list(row) for row in trace]
     trace[10][0] = trace[10][0] + FieldElement.one()
-    # the prover's own degree assertion trips on the inconsistent trace,
+    # the prover's own degree check trips on the inconsistent trace,
     # or (if it were skipped) verification fails; accept either signal
     try:
         proof = stark.prove(trace, air, boundary)
-    except AssertionError:
+    except ValueError:
         return
     assert not stark.verify(proof, air, boundary)
 

@@ -61,6 +61,39 @@ def test_object_level_mutations_rejected(setup):
         )
 
 
+def test_shortened_last_codeword_rejected_cleanly(setup):
+    """ADVICE r1 regression: a crafted proof whose last FRI codeword is
+    SHORTENED — with the matching round root recomputed so the Merkle
+    consistency check passes — must be cleanly rejected (the verifier's
+    omega-order check), not crash with AssertionError."""
+    from stark_tpu.merkle import MerkleTree
+    from stark_tpu.serialization import (
+        json_field_element_vec,
+        json_parse_field_element_vec,
+    )
+
+    model, output, proof = setup
+    objects = list(ProofStream.deserialize(proof).objects)
+    rounds = model.stark.fri.num_rounds()
+    num_registers = model.stark.num_registers
+    # transcript layout: bq roots, randomizer root, FRI round roots,
+    # last codeword, ...
+    last_root_idx = num_registers + 1 + rounds - 1
+    last_cw_idx = num_registers + 1 + rounds
+    last_cw = [
+        fe.value for fe in json_parse_field_element_vec(objects[last_cw_idx])
+    ]
+    shortened = last_cw[: len(last_cw) // 2]
+    objects[last_cw_idx] = json_field_element_vec(shortened)
+    objects[last_root_idx] = MerkleTree.from_codeword(shortened).root.hex()
+    crafted = ProofStream(objects).serialize()
+    assert model.verify(output, crafted) is False
+
+    # and at the protocol layer: Fri.verify returns False, no exception
+    ps = ProofStream(objects[num_registers + 1 :])
+    assert model.stark.fri.verify(ps, []) is False
+
+
 def test_garbage_inputs_rejected(setup):
     model, output, _ = setup
     rng = random.Random(3)
