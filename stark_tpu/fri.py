@@ -235,14 +235,11 @@ class Fri:
 
         return a_indices + b_indices
 
-    def prove(self, codeword: Sequence, proof_stream: ProofStream) -> List[int]:
-        """Full FRI proof; returns the top-level a+b indices
-        (reference: fri.rs:212-254)."""
-        codeword = [
-            c.value if isinstance(c, FieldElement) else c % P for c in codeword
-        ]
-        codewords, trees = self.commit(codeword, proof_stream)
-
+    def _query_phase(
+        self, codewords: Sequence, trees: List[MerkleTree], proof_stream: ProofStream
+    ) -> List[int]:
+        """Top-index sampling + per-round queries (shared by the host and
+        device provers; reference: fri.rs:218-254)."""
         top_level_indices = sample_indices(
             proof_stream.prover_fiat_shamir(32),
             len(codewords[0]) // 2,
@@ -266,6 +263,56 @@ class Fri:
         a_indices = list(top_level_indices)
         b_indices = [idx + len(codewords[0]) // 2 for idx in top_level_indices]
         return a_indices + b_indices
+
+    def prove(self, codeword, proof_stream: ProofStream) -> List[int]:
+        """Full FRI proof; returns the top-level a+b indices
+        (reference: fri.rs:212-254).  Accepts a plain codeword (list of
+        residues / FieldElements) or a device-resident
+        :class:`stark_tpu.ops.device_prover.DeviceCodeword`."""
+        if hasattr(codeword, "mont"):
+            return self._prove_device(codeword, proof_stream)
+        codeword = [
+            c.value if isinstance(c, FieldElement) else c % P for c in codeword
+        ]
+        codewords, trees = self.commit(codeword, proof_stream)
+        return self._query_phase(codewords, trees, proof_stream)
+
+    def _prove_device(self, dcw, proof_stream: ProofStream) -> List[int]:
+        """FRI proof from a device-resident codeword: the fold cascade runs
+        on the TPU; each round crosses to the host once, as the digit
+        matrix that feeds the native Merkle hasher.  Transcripts are
+        byte-identical to :meth:`prove` on the gathered codeword."""
+        core = dcw.core
+        omega = self.omega.value % P
+        offset = self.offset.value % P
+        rounds = self.num_rounds()
+
+        views: List = []  # per-round DigitsView (list-of-ints facade)
+        trees: List[MerkleTree] = []
+        cur = dcw
+        for r in range(rounds):
+            n = len(cur)
+            if pow(omega, n - 1, P) != pow(omega, -1, P):
+                raise ValueError(
+                    "error in commit: omega does not have the right order"
+                )
+            tree = core.merkle_tree(cur)
+            trees.append(tree)
+            proof_stream.push(tree.root.hex())
+
+            if r == rounds - 1:
+                break
+
+            alpha = FieldElement.sample(proof_stream.prover_fiat_shamir(32)).value
+            views.append(cur.view())
+            cur = core.fold(cur, alpha, offset, omega)
+            omega = omega * omega % P
+            offset = offset * offset % P
+
+        last_view = cur.view()
+        proof_stream.push(json_field_element_vec(list(last_view)))
+        views.append(last_view)
+        return self._query_phase(views, trees, proof_stream)
 
     # -- verifier ---------------------------------------------------------
 

@@ -69,6 +69,30 @@ class MerkleTree:
 
         return cls([bincode_field_element(v) for v in values])
 
+    @classmethod
+    def from_digits(cls, digits) -> "MerkleTree":
+        """Tree over bincode(FieldElement) leaves given as an (n, 4) uint32
+        base-2^32 digit matrix — the device pipeline's native handoff
+        (:func:`stark_tpu.ops.device_prover.mont_to_digits`); skips all
+        Python-int materialization.  Bit-identical to ``from_codeword``."""
+        n = digits.shape[0]
+        if n == 0 or n & (n - 1):
+            raise ValueError("length must be a power of two")
+        levels = merkle_levels_from_codeword_digits(digits)
+        if levels is not None:
+            tree = cls.__new__(cls)
+            tree.num_leaves = n
+            tree.levels = levels
+            return tree
+        # no native library: fall back through Python ints
+        from .serialization import bincode_field_element
+
+        values = [
+            int(d[0]) | int(d[1]) << 32 | int(d[2]) << 64 | int(d[3]) << 96
+            for d in digits
+        ]
+        return cls([bincode_field_element(v) for v in values])
+
     @property
     def root(self) -> bytes:
         return self.levels[-1]

@@ -54,6 +54,18 @@ class JaxBackend:
     #: remote-TPU tunnel) while the host NTT handles 4k elements in ~1ms
     min_device_size = 8192
 
+    #: FRI domains at/above this size run the device-resident prover
+    #: pipeline (stark.Stark._prove_device): codewords stay on the TPU
+    #: across RS-extend -> AIR -> quotients -> combination -> FRI folds
+    device_prover_min = 8192
+
+    def make_prover_core(self, n: int, offset: int):
+        """Device-resident prover core for one FRI domain (see
+        :mod:`stark_tpu.ops.device_prover`)."""
+        from .device_prover import DeviceProverCore
+
+        return DeviceProverCore(n, offset)
+
     def rs_extend(self, coeffs: Sequence[int], n: int, offset: int) -> List[int]:
         """Evaluate the polynomial (coeffs, lowest-first) over the coset
         {offset * omega_n^i}; returns n plain residues."""

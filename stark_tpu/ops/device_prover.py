@@ -1,0 +1,365 @@
+"""Device-resident prover core: codewords live on the TPU end-to-end.
+
+Round 1's backend seam moved individual ops to the device but round-tripped
+every codeword through ``List[int]`` (O(n) Python-int pack/unpack per
+stage).  This module keeps every prover-side codeword as an ``(8, n)``
+Montgomery limb array on the device across the whole pipeline
+
+    RS-extension -> AIR evaluation -> transition quotients -> weighted
+    combination -> FRI fold cascade
+
+(the pipeline the reference runs as host loops, stark.rs:223-471), and
+crosses to the host exactly once per committed codeword — as a packed
+``(n, 4)`` uint32 *digit* matrix that feeds the native C Merkle hasher
+directly.  No Python-int materialization happens for any full-length
+codeword; only the handful of opened leaves become ints.
+
+Key pieces:
+
+* :class:`DeviceCodeword` — an (8, n) Montgomery device array + lazily
+  computed host digit matrix (plain form, base-2^32 rows);
+* :class:`DeviceProverCore` — per-(n, offset) compiled machinery: coset
+  RS-extension, device-built geometric tables (x^shift columns, FRI
+  inverse tables), the FRI fold, and the one-dispatch combination
+  megakernel (trace extends + AIR + quotients + degree probe + weighted
+  combination traced into a single XLA executable);
+* digit helpers shared with the sharded core.
+
+Bit-exactness with the host golden pipeline is pinned by
+tests/test_device_prover.py (byte-identical transcripts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import NUM_LIMBS, P
+from . import field_ops as fo
+from .backend import best_plan
+from .fold import fold_mont
+from .limbs import pack
+from .ntt import _mont_pack
+
+
+# ---------------------------------------------------------------------------
+# digit conversion (device Montgomery limbs <-> host base-2^32 digit rows)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _plain_digits(mont: jnp.ndarray) -> jnp.ndarray:
+    """(8, n) Montgomery -> (4, n) plain-form base-2^32 digits (on device,
+    so the host transfer is half the size of the raw limb array)."""
+    plain = fo.from_mont(mont)
+    lo = plain[0::2]
+    hi = plain[1::2]
+    return lo | (hi << 16)
+
+
+def mont_to_digits(mont: jnp.ndarray) -> np.ndarray:
+    """Device (8, n) Montgomery array -> host (n, 4) uint32 digit rows —
+    the exact input of the native serialize+hash Merkle path."""
+    d = np.asarray(jax.device_get(_plain_digits(mont)))
+    return np.ascontiguousarray(d.T)
+
+
+def digits_value(digits: np.ndarray, i: int) -> int:
+    """One digit row -> Python int (for opened leaves / transcripts)."""
+    d = digits[i]
+    return int(d[0]) | int(d[1]) << 32 | int(d[2]) << 64 | int(d[3]) << 96
+
+
+class DigitsView:
+    """List-of-ints facade over a digit matrix (len / index / iterate) so
+    transcript code written for ``List[int]`` works unchanged."""
+
+    __slots__ = ("digits",)
+
+    def __init__(self, digits: np.ndarray) -> None:
+        self.digits = digits
+
+    def __len__(self) -> int:
+        return self.digits.shape[0]
+
+    def __getitem__(self, i: int) -> int:
+        return digits_value(self.digits, i)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield digits_value(self.digits, i)
+
+
+class DeviceCodeword:
+    """An (8, n) Montgomery codeword on device, with a lazily gathered
+    host digit matrix for hashing/openings."""
+
+    __slots__ = ("mont", "core", "_digits")
+
+    def __init__(self, mont: jnp.ndarray, core: "DeviceProverCore") -> None:
+        self.mont = mont
+        self.core = core
+        self._digits = None
+
+    def __len__(self) -> int:
+        # codeword length regardless of layout: (8, n) natural or
+        # (8, R, C) four-step (sharded cores)
+        n = 1
+        for d in self.mont.shape[1:]:
+            n *= d
+        return n
+
+    @property
+    def digits(self) -> np.ndarray:
+        if self._digits is None:
+            self._digits = self.core.to_digits(self.mont)
+        return self._digits
+
+    def value(self, i: int) -> int:
+        return digits_value(self.digits, i)
+
+    def view(self) -> DigitsView:
+        return DigitsView(self.digits)
+
+    def to_list(self) -> List[int]:
+        return list(self.view())
+
+
+# ---------------------------------------------------------------------------
+# geometric tables built on device (no O(n) host loops)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _geometric_from_bits(
+    bit_bases: jnp.ndarray, start: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """table[i] = start * base^i for i < n, from the bit decomposition of i
+    (bit_bases[:, b] = base^(2^b), all Montgomery form).  log2(n) batched
+    multiplies in one executable instead of an O(n) sequential host loop."""
+    idx = jax.lax.iota(jnp.uint32, n)
+    acc = jnp.broadcast_to(start, (NUM_LIMBS, n))
+    for b in range(bit_bases.shape[1]):
+        factor = bit_bases[:, b : b + 1]
+        mult = fo.mont_mul(acc, factor)
+        acc = jnp.where((((idx >> b) & 1) == 1)[None, :], mult, acc)
+    return acc
+
+
+def geometric_table(base: int, start: int, n: int) -> jnp.ndarray:
+    """Montgomery (8, n) table of start * base^i, built on device."""
+    if n == 1:
+        return jnp.asarray(_mont_pack([start % P]))
+    k = (n - 1).bit_length()
+    bases = [pow(base, 1 << b, P) for b in range(k)]
+    return _geometric_from_bits(
+        jnp.asarray(_mont_pack(bases)),
+        jnp.asarray(_mont_pack([start % P])),
+        n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the core
+# ---------------------------------------------------------------------------
+
+
+class DeviceProverCore:
+    """Compiled device machinery for one (fri_domain_length, offset)."""
+
+    def __init__(self, n: int, offset: int) -> None:
+        self.n = n
+        self.offset = offset % P
+        self.plan = best_plan(n)
+        self._inv_tables: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+        self._shift_tables: Dict[Tuple[int, int], jnp.ndarray] = {}
+        self._comb_cache: Dict[tuple, object] = {}
+
+        # ONE compiled extend / restrict for every coefficient length
+        # (host-side zero-pad to n): every distinct jit would re-compile
+        # the full NTT graph, which is expensive on XLA:CPU and through
+        # the TPU tunnel's cold path
+        plan, offset_v = self.plan, self.offset
+
+        def ext(a):  # (8, n) plain packed
+            return plan.coset_forward(fo.to_mont(a), offset_v)
+
+        def restrict_iszero(cw):  # (8, n) Montgomery codeword
+            coeffs = plan.coset_inverse(cw, offset_v)
+            return fo.is_zero(coeffs)
+
+        self._ext_jit = jax.jit(ext)
+        self._restrict_iszero_jit = jax.jit(restrict_iszero)
+
+    # -- RS extension ------------------------------------------------------
+
+    def _padded_plain(self, coeffs: Sequence[int]) -> np.ndarray:
+        coeffs = list(coeffs)
+        if len(coeffs) > self.n:
+            raise ValueError("coefficient vector longer than the domain")
+        arr = pack(coeffs)
+        if len(coeffs) < self.n:
+            arr = np.concatenate(
+                [arr, np.zeros((NUM_LIMBS, self.n - len(coeffs)), np.uint32)],
+                axis=1,
+            )
+        return arr
+
+    def extend(self, coeffs: Sequence[int]) -> jnp.ndarray:
+        """Coefficients (plain ints, lowest-first) -> (8, n) Montgomery
+        codeword over the coset {offset * omega^i}."""
+        return self._ext_jit(jnp.asarray(self._padded_plain(coeffs)))
+
+    def extend_codeword(self, coeffs: Sequence[int]) -> DeviceCodeword:
+        return DeviceCodeword(self.extend(coeffs), self)
+
+    def restrict_iszero(self, cw_mont: jnp.ndarray) -> np.ndarray:
+        """Codeword -> is-zero bitmap of its coefficient vector (the degree
+        probe; the coefficients themselves never leave the device)."""
+        return np.asarray(jax.device_get(self._restrict_iszero_jit(cw_mont)))
+
+    def to_digits(self, mont: jnp.ndarray) -> np.ndarray:
+        """Layout hook for :class:`DeviceCodeword` (natural (8, n) here)."""
+        return mont_to_digits(mont)
+
+    def merkle_tree(self, dcw: DeviceCodeword):
+        """Merkle commitment over the codeword's bincode leaves (native C
+        hashing from the digit matrix)."""
+        from ..merkle import MerkleTree
+
+        return MerkleTree.from_digits(dcw.digits)
+
+    # -- FRI fold ----------------------------------------------------------
+
+    def _inv_table(self, offset: int, omega: int, half: int) -> jnp.ndarray:
+        """[(offset * omega^i)^{-1}, i < half] = geometric series with base
+        omega^{-1} and start offset^{-1} — built on device."""
+        key = (offset % P, omega % P, half)
+        tab = self._inv_tables.get(key)
+        if tab is None:
+            tab = geometric_table(
+                pow(omega, -1, P), pow(offset, -1, P), half
+            )
+            self._inv_tables[key] = tab
+        return tab
+
+    def fold(
+        self, dcw: DeviceCodeword, alpha: int, offset: int, omega: int
+    ) -> DeviceCodeword:
+        """One FRI fold round, entirely on device (reference fold semantics
+        fri.rs:133-139 via :func:`stark_tpu.ops.fold.fold_mont`)."""
+        half = len(dcw) // 2
+        inv = self._inv_table(offset, omega, half)
+        alpha_mont = jnp.asarray(_mont_pack([alpha % P]))
+        return DeviceCodeword(fold_mont(dcw.mont, alpha_mont, inv), self)
+
+    # -- x^shift columns ---------------------------------------------------
+
+    def shift_table(self, shift: int, omega: int) -> jnp.ndarray:
+        """Codeword of x^shift over the coset: offset^shift * omega^(shift*i)
+        (Montgomery, cached per shift)."""
+        key = (shift, omega % P)
+        tab = self._shift_tables.get(key)
+        if tab is None:
+            tab = geometric_table(
+                pow(omega, shift, P), pow(self.offset, shift, P), self.n
+            )
+            self._shift_tables[key] = tab
+        return tab
+
+    # -- batch inversion ---------------------------------------------------
+
+    def inverse(self, mont: jnp.ndarray) -> jnp.ndarray:
+        """Elementwise inversion via Fermat (division-free, data-parallel —
+        the TPU-native replacement for extended Euclid)."""
+        return fo.mont_inv(mont)
+
+    # -- the combination megakernel ---------------------------------------
+
+    def combination_fn(self, structure: tuple, num_bq: int, expansion: int):
+        """One jitted executable computing, from pre-extended trace
+        codewords:
+
+            shifted "next" rows (t(omicron*x_i) = t(x_{i+expansion})) ->
+            AIR codewords (grouped-monomial evaluation; cached group
+            codewords as inputs) -> transition quotients (pointwise product
+            with the inverted zeroifier codeword) -> weighted combination
+            with x^shift columns.
+
+        Returns (combination, stacked transition-quotient codewords); the
+        degree probe runs through the shared restrict executable.
+
+        ``structure``: per constraint, a tuple of (state-tail exponent
+        tuple, group-codeword index).  Cached per structural signature.
+        """
+        key = (structure, num_bq, expansion)
+        fn = self._comb_cache.get(key)
+        if fn is not None:
+            return fn
+
+        def comb_fn(
+            trace_cws,  # tuple of (8, n) Montgomery
+            group_cws,  # tuple of (8, n) Montgomery
+            tz_inv,  # (8, n) Montgomery
+            rand_cw,  # (8, n) Montgomery
+            bq_cws,  # tuple of (8, n) Montgomery
+            weights,  # (8, k) Montgomery
+            tq_shift_tabs,  # tuple of (8, n) Montgomery
+            bq_shift_tabs,  # tuple of (8, n) Montgomery
+        ):
+            next_cws = [
+                jnp.roll(cw, -expansion, axis=-1) for cw in trace_cws
+            ]
+            state = list(trace_cws) + next_cws
+
+            pow_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+            def pow_col(i: int, e: int) -> jnp.ndarray:
+                if e == 1:
+                    return state[i]
+                k2 = (i, e)
+                if k2 not in pow_cache:
+                    half = pow_col(i, e // 2)
+                    sq = fo.mont_mul(half, half)
+                    if e & 1:
+                        sq = fo.mont_mul(sq, state[i])
+                    pow_cache[k2] = sq
+                return pow_cache[k2]
+
+            airs = []
+            for groups in structure:
+                acc = None
+                for tail, gi in groups:
+                    term = group_cws[gi]
+                    for i, e in enumerate(tail):
+                        if e:
+                            term = fo.mont_mul(term, pow_col(i, e))
+                    acc = term if acc is None else fo.add(acc, term)
+                airs.append(acc)
+
+            tqs = [fo.mont_mul(a, tz_inv) for a in airs]
+
+            comb = fo.mont_mul(weights[:, 0:1], rand_cw)
+            k2 = 1
+            for i, t in enumerate(tqs):
+                comb = fo.add(comb, fo.mont_mul(weights[:, k2 : k2 + 1], t))
+                shifted = fo.mont_mul(tq_shift_tabs[i], t)
+                comb = fo.add(
+                    comb, fo.mont_mul(weights[:, k2 + 1 : k2 + 2], shifted)
+                )
+                k2 += 2
+            for i, b in enumerate(bq_cws):
+                comb = fo.add(comb, fo.mont_mul(weights[:, k2 : k2 + 1], b))
+                shifted = fo.mont_mul(bq_shift_tabs[i], b)
+                comb = fo.add(
+                    comb, fo.mont_mul(weights[:, k2 + 1 : k2 + 2], shifted)
+                )
+                k2 += 2
+            return comb, jnp.stack(tqs)
+
+        fn = self._comb_cache[key] = jax.jit(comb_fn)
+        return fn

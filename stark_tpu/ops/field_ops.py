@@ -131,7 +131,14 @@ def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a, b = _common_shape(a, b)
     t = [a[i] + b[i] for i in range(NUM_LIMBS)]
     t = _carry_sweep(t)  # 9 limbs, top is 0/1
-    return _canonicalize(t)
+    out = _canonicalize(t)
+    # WIDE graphs (parallel mont_mul chains joined by adds) re-trigger the
+    # XLA:CPU fusion blow-up even with per-product barriers (measured: 10
+    # joined 2-mul chains never finished compiling; with barriered adds 80
+    # muls compile in 16 s) — fence the joins too, CPU only
+    if _fusion_barriers():
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 @jax.jit
@@ -153,7 +160,10 @@ def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         added.append(s & _MASK)
         carry = s >> LIMB_BITS
     out = _select(borrow, added, diff)
-    return jnp.stack(out)
+    out = jnp.stack(out)
+    if _fusion_barriers():  # see add()
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 @jax.jit

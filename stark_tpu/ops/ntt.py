@@ -184,14 +184,18 @@ class NTTPlan:
         """Evaluations at {omega^i} -> Montgomery coefficients."""
         return self._inverse_jit(evals)
 
-    # coset scaling tables are cached per offset
+    # coset scaling tables are cached per offset — as NUMPY: this method is
+    # reached from inside other jits (the device prover's fused pipeline),
+    # and caching jnp arrays created mid-trace leaks tracers
     @lru_cache(maxsize=16)
-    def _offset_tables(self, offset: int):
-        fwd = jnp.asarray(_mont_pack(_power_table(offset % P, self.n)))
-        inv = jnp.asarray(
-            _mont_pack(_power_table(pow(offset, -1, P), self.n))
-        )
+    def _offset_tables_np(self, offset: int):
+        fwd = _mont_pack(_power_table(offset % P, self.n))
+        inv = _mont_pack(_power_table(pow(offset, -1, P), self.n))
         return fwd, inv
+
+    def _offset_tables(self, offset: int):
+        fwd, inv = self._offset_tables_np(offset)
+        return jnp.asarray(fwd), jnp.asarray(inv)
 
     def _bshape(self, table: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
         """Reshape an (8, n) table to broadcast against (8, *batch, n)."""

@@ -11,4 +11,20 @@ would do with NCCL.
 from .mesh import make_mesh, cpu_mesh
 from .ntt_sharded import ShardedNTT
 
-__all__ = ["make_mesh", "cpu_mesh", "ShardedNTT"]
+
+def __getattr__(name):
+    # lazy: stark_sharded pulls in the device-prover stack
+    if name in ("ShardedProverCore", "ShardedBackend"):
+        from . import stark_sharded
+
+        return getattr(stark_sharded, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "make_mesh",
+    "cpu_mesh",
+    "ShardedNTT",
+    "ShardedProverCore",
+    "ShardedBackend",
+]

@@ -76,20 +76,6 @@ class ShardedFold:
         self.r = r
         self.d = mesh.shape[self.axis]
 
-    def __call__(
-        self, codeword: jnp.ndarray, alpha: int, offset: int, omega: int
-    ) -> jnp.ndarray:
-        """(8, R, C) row-sharded Montgomery codeword -> (8, R, C/2).
-
-        alpha/offset/omega are the CURRENT round's plain-int parameters
-        (offset and omega square between rounds, exactly as in
-        reference: fri.rs:141-142)."""
-        r = self.r
-        c_half = codeword.shape[2] // 2
-        row_np, col_np = _fold_factor_tables(offset % P, omega % P, r, c_half)
-        alpha_mont = _mont_pack([alpha % P])  # Montgomery form
-        one = _mont_pack([1])
-        two_inv = _mont_pack([pow(2, -1, P)])
         axis = self.axis
         r_local = r // self.d
 
@@ -99,25 +85,42 @@ class ShardedFold:
                 x, a[:, 0], rt, ct, on[:, 0], ti[:, 0], me * r_local
             )
 
-        fn = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(
-                PS(None, axis, None),
-                PS(None, None),
-                PS(None, None),
-                PS(None, None),
-                PS(None, None),
-                PS(None, None),
-            ),
-            out_specs=PS(None, axis, None),
-            check_vma=False,
+        # built ONCE: a fresh shard_map/jit per call would recompile
+        # every fold round (jit caches on function identity)
+        self._fn = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(
+                    PS(None, axis, None),
+                    PS(None, None),
+                    PS(None, None),
+                    PS(None, None),
+                    PS(None, None),
+                    PS(None, None),
+                ),
+                out_specs=PS(None, axis, None),
+                check_vma=False,
+            )
         )
-        return jax.jit(fn)(
+
+    def __call__(
+        self, codeword: jnp.ndarray, alpha: int, offset: int, omega: int
+    ) -> jnp.ndarray:
+        """(8, R, C) row-sharded Montgomery codeword -> (8, R, C/2).
+
+        alpha/offset/omega are the CURRENT round's plain-int parameters
+        (offset and omega square between rounds, exactly as in
+        reference: fri.rs:141-142)."""
+        c_half = codeword.shape[2] // 2
+        row_np, col_np = _fold_factor_tables(
+            offset % P, omega % P, self.r, c_half
+        )
+        return self._fn(
             codeword,
-            jnp.asarray(alpha_mont),
+            jnp.asarray(_mont_pack([alpha % P])),
             jnp.asarray(row_np),
             jnp.asarray(col_np),
-            jnp.asarray(one),
-            jnp.asarray(two_inv),
+            jnp.asarray(_mont_pack([1])),
+            jnp.asarray(_mont_pack([pow(2, -1, P)])),
         )

@@ -85,6 +85,7 @@ class ShardedNTT:
 
         self._fwd = self._build(inverse=False)
         self._inv = self._build(inverse=True)
+        self._inv4 = None  # built on first use (inverse_from_fourstep)
 
     def _bit_tables(self, base: int, logc: int) -> jnp.ndarray:
         """(logc, 8, R) Montgomery tables A[b, :, k1] = base^(2^b * k1)."""
@@ -145,7 +146,78 @@ class ShardedNTT:
         )
         return jax.jit(fn)
 
+    def _build_inv_from_fourstep(self):
+        """Inverse transform taking the FORWARD OUTPUT layout directly.
+
+        ``forward`` maps a natural matrix (j = j1*C + j2, column-sharded)
+        to four-step layout (k = k1 + R*k2 at [k1, k2], row-sharded).
+        This runs the dataflow in reverse on that layout:
+
+            c[j1, j2] = 1/n * sum_{k1} w_R^{-j1 k1} omega^{-j2 k1}
+                            * sum_{k2} X[k1, k2] w_C^{-j2 k2}
+
+        i.e. (1) shard-local INTT_C along k2, (2) twiddle omega^{-k1*j2},
+        (3) the single all_to_all back to column sharding, (4) shard-local
+        INTT_R along k1 — yielding the natural coefficient matrix
+        (column-sharded), the exact inverse of ``forward`` with no extra
+        resharding.  Used by the sharded prover's degree probe.
+        """
+        r, c, d, axis = self.R, self.C, self.d, self.axis
+        plan_r = get_plan(r)
+        plan_c = get_plan(c)
+        omega_inv = pow(self.omega, -1, P)
+        # bit tables over j2 for the k1-bit decomposition:
+        # B[b][j2] = (omega^-1)^(2^b * j2), shape (logr, 8, C)
+        logr = r.bit_length() - 1
+        rows = []
+        for b in range(logr):
+            step = pow(omega_inv, 1 << b, P)
+            rows.append(_mont_pack(_power_table(step, c)))
+        tables_c = jnp.asarray(np.stack(rows))  # (logr, 8, C)
+
+        def local(x):  # (8, R/d, C) row-sharded four-step layout
+            # (1) INTT along k2 (last axis, shard-local)
+            x = plan_c.inverse(x)
+            # (2) twiddle omega^{-k1 * j2} for this shard's k1 rows
+            me = jax.lax.axis_index(axis)
+            r_local = r // d
+            k1 = (me * r_local + jnp.arange(r_local)).astype(jnp.uint32)
+            acc = jnp.broadcast_to(
+                fo.mont_one(jnp.zeros((NUM_LIMBS, 1, 1), jnp.uint32)),
+                (NUM_LIMBS, r_local, c),
+            )
+            for b in range(logr):
+                bit = (k1 >> b) & 1  # (r_local,)
+                factor = tables_c[b][:, None, :]  # (8, 1, C)
+                mult = fo.mont_mul(acc, jnp.broadcast_to(factor, acc.shape))
+                acc = jnp.where((bit == 1)[None, :, None], mult, acc)
+            x = fo.mont_mul(x, acc)
+            # (3) reshard: gather all k1, split j2 over devices
+            x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+            # (4) INTT along k1 (axis 1, now full length R, shard-local);
+            # the two INTTs contribute 1/C * 1/R = 1/n exactly
+            x = jnp.moveaxis(x, 1, 2)  # (8, C/d, R)
+            x = plan_r.inverse(x)
+            return jnp.moveaxis(x, 2, 1)  # (8, R, C/d)
+
+        fn = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=PS(None, self.axis, None),
+            out_specs=PS(None, None, self.axis),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
     # -- public -----------------------------------------------------------
+
+    def inverse_from_fourstep(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(8, R, C) row-sharded four-step evaluations (forward's output
+        layout) -> (8, R, C) column-sharded natural coefficient matrix
+        (j = j1*C + j2 at [j1, j2]); exact inverse of :meth:`forward`."""
+        if self._inv4 is None:
+            self._inv4 = self._build_inv_from_fourstep()
+        return self._inv4(x)
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """(8, R, C) column-sharded Montgomery coefficients ->

@@ -125,10 +125,16 @@ class Stark:
 
         self.omega = FieldElement.primitive_nth_root(self.fri_domain_length)
         self.omicron = FieldElement.primitive_nth_root(omicron_domain_length)
-        self.omicron_domain = [
-            self.omicron.pow(i) for i in range(omicron_domain_length)
-        ]
+        # incremental powers: one multiply per element (a .pow() per element
+        # would cost O(n log n) bigint multiplies at large domains)
+        omicron_value = self.omicron.value
+        domain_values = [1] * omicron_domain_length
+        for i in range(1, omicron_domain_length):
+            domain_values[i] = domain_values[i - 1] * omicron_value % P
+        self.omicron_domain = [FieldElement(v) for v in domain_values]
         self.generator = FieldElement.generator()
+        #: per-prove stage timings (utils.profiling.Timer), set by prove()
+        self.last_profile = None
 
         self.fri = Fri(
             self.generator,
@@ -535,12 +541,289 @@ class Stark:
                 ) % P
         return combination
 
+    # ------------------------------------------------------------------
+    # device-resident prover (codewords stay on the TPU end-to-end)
+    # ------------------------------------------------------------------
+
+    def _use_device_pipeline(self) -> bool:
+        """Whether prove() runs the device-resident pipeline: a backend is
+        attached, the evaluation-space algorithm is selected, and the FRI
+        domain is large enough that device dispatch beats host lists."""
+        if self.backend is None or self.algorithm != "evaluation":
+            return False
+        floor = getattr(self.backend, "device_prover_min", 1 << 13)
+        return self.fri_domain_length >= floor
+
+    def _device_core(self):
+        core = getattr(self, "_device_core_cache", None)
+        if core is None:
+            maker = getattr(self.backend, "make_prover_core", None)
+            if maker is not None:
+                core = maker(self.fri_domain_length, self.generator.value)
+            else:
+                from .ops.device_prover import DeviceProverCore
+
+                core = DeviceProverCore(
+                    self.fri_domain_length, self.generator.value
+                )
+            self._device_core_cache = core
+        return core
+
+    def _device_air_groups(self, core, transition_constraints):
+        """Per-constraint grouped-monomial structure + cached device group
+        codewords.  The AIR is rewritten as sum_m m(state) * c_m(x) with
+        c_m univariate (round-constant interpolants concentrate there);
+        each c_m is RS-extended once and cached per AIR content (same
+        grouping as the host evaluation path)."""
+        cache = getattr(self, "_device_air_cache", None)
+        if cache is None:
+            cache = self._device_air_cache = {}
+        key = tuple(
+            tuple(sorted(tc.dict.items())) for tc in transition_constraints
+        )
+        entry = cache.get(key)
+        if entry is None:
+            group_cws = []
+            structure = []
+            for tc in transition_constraints:
+                groups: Dict[tuple, Dict[int, int]] = {}
+                for exps, coeff in tc.dict.items():
+                    if coeff == 0:
+                        continue
+                    x_e = exps[0] if exps else 0
+                    tail = tuple(exps[1:])
+                    g = groups.setdefault(tail, {})
+                    g[x_e] = (g.get(x_e, 0) + coeff) % P
+                per_constraint = []
+                for tail, xdict in groups.items():
+                    max_e = max(xdict)
+                    coeffs = [0] * (max_e + 1)
+                    for e, c in xdict.items():
+                        coeffs[e] = c
+                    per_constraint.append((tail, len(group_cws)))
+                    group_cws.append(core.extend(coeffs))
+                structure.append(tuple(per_constraint))
+            entry = cache[key] = (tuple(group_cws), tuple(structure))
+        return entry
+
+    def _device_tz_inv(self, core):
+        """Inverted transition-zeroifier codeword (trace-independent),
+        cached on device per Stark instance."""
+        tz_inv = getattr(self, "_device_tz_inv_cache", None)
+        if tz_inv is None:
+            tz_cw = core.extend(self.transition_zeroifier().coeffs)
+            tz_inv = self._device_tz_inv_cache = core.inverse(tz_cw)
+        return tz_inv
+
+    def _combination_device(
+        self,
+        core,
+        trace_polynomials,
+        transition_constraints,
+        bq_codewords,
+        randomizer_codeword,
+        weights,
+        max_degree,
+        tq_bounds,
+        bq_bounds,
+    ):
+        """Evaluation-space combination as one device executable; returns a
+        DeviceCodeword.  Same algebra as :meth:`_combination_evaluation`
+        (identical transcripts), but no codeword ever reaches the host."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .ops.device_prover import DeviceCodeword
+        from .ops.ntt import _mont_pack
+
+        omega = self.omega.value
+        group_cws, structure = self._device_air_groups(
+            core, transition_constraints
+        )
+        tz_inv = self._device_tz_inv(core)
+        tq_tabs = tuple(
+            core.shift_table(max_degree - b, omega) for b in tq_bounds
+        )
+        bq_tabs = tuple(
+            core.shift_table(max_degree - b, omega) for b in bq_bounds
+        )
+        weights_mont = jnp.asarray(_mont_pack([w.value for w in weights]))
+
+        trace_cws = tuple(
+            core.extend(tp.coeffs) for tp in trace_polynomials
+        )
+
+        fn = core.combination_fn(
+            structure, len(bq_codewords), self.expansion_factor
+        )
+        comb_mont, tq_stack = fn(
+            trace_cws,
+            group_cws,
+            tz_inv,
+            randomizer_codeword.mont,
+            tuple(cw.mont for cw in bq_codewords),
+            weights_mont,
+            tq_tabs,
+            bq_tabs,
+        )
+
+        # degree check from coefficient is-zero bitmaps (zero poly ->
+        # degree 0, matching the host quirk); reference: stark.rs:379-380
+        tq_degrees = []
+        for i in range(tq_stack.shape[0]):
+            row = core.restrict_iszero(tq_stack[i])
+            nz = np.nonzero(~row)[0]
+            tq_degrees.append(int(nz[-1]) if nz.size else 0)
+        if tq_degrees != list(tq_bounds):
+            raise ValueError(
+                f"transition quotient degrees {tq_degrees} do not match "
+                f"degree bounds {list(tq_bounds)}"
+            )
+        return DeviceCodeword(comb_mont, core)
+
+    def _prove_device(
+        self,
+        trace: Sequence[Sequence[FieldElement]],
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Sequence[BoundaryCondition],
+    ) -> bytes:
+        """Device-resident prove: same pipeline, randomness consumption and
+        transcript bytes as the host path (pinned by tests), with every
+        full-length codeword living on the device from RS-extension to the
+        FRI folds.  Host crossings: one digit matrix per committed codeword
+        (Merkle leaves are host/native-C work) and the opened leaves."""
+        from .utils.profiling import Timer
+
+        prof = Timer()
+        self.last_profile = prof
+        proof_stream = ProofStream()
+        trace = [list(row) for row in trace]
+
+        with prof.region("randomizer_rows"):
+            for _ in range(self.num_randomizers):
+                trace.append(
+                    [
+                        FieldElement.sample(self.rng(17))
+                        for _ in range(self.num_registers)
+                    ]
+                )
+
+        with prof.region("trace_interpolation"):
+            trace_domain = self.omicron_domain[: len(trace)]
+            trace_polynomials = []
+            for s in range(self.num_registers):
+                column = [trace[c][s] for c in range(len(trace))]
+                trace_polynomials.append(
+                    self._interpolate_trace(trace_domain, column)
+                )
+
+        with prof.region("boundary_polys"):
+            interpolants = self.boundary_interpolants(boundary)
+            zeroifiers = self.boundary_zeroifiers(boundary)
+            boundary_quotients = [
+                (trace_polynomials[s] - interpolants[s]) / zeroifiers[s]
+                for s in range(self.num_registers)
+            ]
+
+        core = self._device_core()
+        with prof.region("bq_extend"):
+            boundary_quotient_codewords = [
+                core.extend_codeword(bq.coeffs) for bq in boundary_quotients
+            ]
+        with prof.region("bq_merkle"):
+            boundary_quotient_trees = []
+            for cw in boundary_quotient_codewords:
+                tree = core.merkle_tree(cw)
+                boundary_quotient_trees.append(tree)
+                proof_stream.push(tree.root.hex())
+
+        max_degree = self.combination_degree(transition_constraints)
+        with prof.region("randomizer_poly"):
+            randomizer_coeffs = [
+                FieldElement.sample(self.rng(17)).value
+                for _ in range(max_degree + 1)
+            ]
+            randomizer_codeword = core.extend_codeword(randomizer_coeffs)
+        with prof.region("randomizer_merkle"):
+            randomizer_tree = core.merkle_tree(randomizer_codeword)
+            proof_stream.push(randomizer_tree.root.hex())
+
+        fri_budget = self.fri_domain_length // self.expansion_factor - 1
+        if max_degree > fri_budget:
+            from .utils import get_logger
+
+            get_logger("stark_tpu.stark").warning(
+                "combination degree bound %d exceeds the FRI degree budget "
+                "%d for expansion factor %d — honest proofs will NOT verify "
+                "with this configuration",
+                max_degree,
+                fri_budget,
+                self.expansion_factor,
+            )
+
+        weights = self.sample_weights(
+            1
+            + 2 * len(transition_constraints)
+            + 2 * len(boundary_quotients),
+            proof_stream.prover_fiat_shamir(32),
+        )
+
+        tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
+        bq_bounds = self.boundary_quotient_degree_bounds(len(trace), boundary)
+        worst = max(tq_bounds + bq_bounds)
+        if worst > max_degree:
+            raise ValueError(
+                f"a quotient's degree bound ({worst}) exceeds the "
+                f"combination degree target ({max_degree}); this "
+                "configuration cannot produce a verifiable proof "
+                "(shrink the constraint degree or grow the domain)"
+            )
+
+        with prof.region("combination"):
+            combined_codeword = self._combination_device(
+                core,
+                trace_polynomials,
+                transition_constraints,
+                boundary_quotient_codewords,
+                randomizer_codeword,
+                weights,
+                max_degree,
+                tq_bounds,
+                bq_bounds,
+            )
+
+        with prof.region("fri"):
+            indices = self.fri.prove(combined_codeword, proof_stream)
+        indices.sort()
+
+        duplicated_indices = sorted(
+            indices
+            + [(i + self.expansion_factor) % self.fri.domain_length for i in indices]
+        )
+
+        with prof.region("openings"):
+            for s in range(self.num_registers):
+                codeword = boundary_quotient_codewords[s]
+                tree = boundary_quotient_trees[s]
+                for i in duplicated_indices:
+                    proof_stream.push(json_field_element(codeword.value(i)))
+                    proof_stream.push(json_hash_path(tree.open(i)))
+            for i in indices:
+                proof_stream.push(
+                    json_field_element(randomizer_codeword.value(i))
+                )
+                proof_stream.push(json_hash_path(randomizer_tree.open(i)))
+
+        return proof_stream.serialize()
+
     def prove(
         self,
         trace: Sequence[Sequence[FieldElement]],
         transition_constraints: Sequence[MPolynomial],
         boundary: Sequence[BoundaryCondition],
     ) -> bytes:
+        if self._use_device_pipeline():
+            return self._prove_device(trace, transition_constraints, boundary)
         proof_stream = ProofStream()
         trace = [list(row) for row in trace]
 

@@ -48,7 +48,7 @@ def test_evaluation_prover_rejects_tampered_trace_early():
     stark = Stark(4, 2, 2, rp.m, rp.N + 1, rng=DeterministicRandom(5))
     air = rp.transition_constraints(stark.omicron)
     boundary = rp.boundary_constraints(out)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="degree"):
         stark.prove(trace, air, boundary)
 
 
