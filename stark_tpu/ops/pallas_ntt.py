@@ -68,11 +68,15 @@ def _make_small_ntt_body(n_t: int, b: int, small_halves: int = 4):
             xv = x.reshape(NUM_LIMBS, g, length * b)
             u = xv[:, :, : half * b]
             v = xv[:, :, half * b :]
-            tw = tiled_small[:, half : 2 * half, :].reshape(
-                NUM_LIMBS, 1, half * b
-            )
-            tw = jnp.broadcast_to(tw, u.shape)
-            v = _k_mont_mul(v, tw)
+            if length > 2:
+                tw = tiled_small[:, half : 2 * half, :].reshape(
+                    NUM_LIMBS, 1, half * b
+                )
+                tw = jnp.broadcast_to(tw, u.shape)
+                v = _k_mont_mul(v, tw)
+            # length == 2: the only twiddle is w^0 = 1; mont_mul by the
+            # Montgomery one is the exact identity on canonical (< p)
+            # values, so the multiply is skipped bit-exactly
             return jnp.concatenate(
                 [_k_add(u, v), _k_sub(u, v)], axis=2
             ).reshape(NUM_LIMBS, n_t, b)
@@ -214,20 +218,24 @@ class PallasNTT:
 
     # -- kernels ----------------------------------------------------------
 
-    def _pass1(self, x: jnp.ndarray, inverse: bool, prow, pcol) -> jnp.ndarray:
+    def _pass1(
+        self, x: jnp.ndarray, inverse: bool, prow, pcol, apply_pro: bool
+    ) -> jnp.ndarray:
         """Column NTTs + coset prologue + W epilogue.
-        x: (8, R, C) bit-reversed along axis 1.  Returns A·W (8, R, C)."""
+        x: (8, R, C) bit-reversed along axis 1.  Returns A·W (8, R, C).
+
+        apply_pro=False (forward offset=1 and all inverse transforms, whose
+        offset handling lives in pass 2's epilogue) drops the prologue
+        multipliers entirely: multiplying by the Montgomery one is the
+        identity on canonical values, so skipping is bit-exact and saves
+        two full-array mont_muls."""
         r, c, b = self.R, self.C, self.lane_block
         body = _make_small_ntt_body(r, b)
         tw = jnp.asarray(self._tw_R[inverse])
         tiled = jnp.asarray(_tile_small_twiddles(self._tw_R[inverse], b))
         w_table = self._w_table(inverse)
 
-        def kernel(x_ref, prow_ref, pcol_ref, tw_ref, tiled_ref, w_ref, o_ref):
-            xv = x_ref[...]
-            pr = jnp.broadcast_to(prow_ref[...][:, :, None], xv.shape)
-            pc = jnp.broadcast_to(pcol_ref[...][:, None, :], xv.shape)
-            o_ref[...] = _k_mont_mul(_k_mont_mul(xv, pr), pc)
+        def stages_and_w(o_ref, tw_ref, tiled_ref, w_ref):
             length = 2
             while length <= r:
                 o_ref[...] = body(
@@ -238,6 +246,18 @@ class PallasNTT:
             # raised VMEM limit; saves a full HBM round trip vs a
             # separate elementwise pass)
             o_ref[...] = _k_mont_mul(o_ref[...], w_ref[...])
+
+        if apply_pro:
+            def kernel(x_ref, prow_ref, pcol_ref, tw_ref, tiled_ref, w_ref, o_ref):
+                xv = x_ref[...]
+                pr = jnp.broadcast_to(prow_ref[...][:, :, None], xv.shape)
+                pc = jnp.broadcast_to(pcol_ref[...][:, None, :], xv.shape)
+                o_ref[...] = _k_mont_mul(_k_mont_mul(xv, pr), pc)
+                stages_and_w(o_ref, tw_ref, tiled_ref, w_ref)
+        else:
+            def kernel(x_ref, tw_ref, tiled_ref, w_ref, o_ref):
+                o_ref[...] = x_ref[...]
+                stages_and_w(o_ref, tw_ref, tiled_ref, w_ref)
 
         grid = (c // b,)
         data_spec = pl.BlockSpec(
@@ -255,38 +275,60 @@ class PallasNTT:
         tiled_spec = pl.BlockSpec(
             (NUM_LIMBS, 8, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
+        in_specs = [data_spec]
+        operands = [x]
+        if apply_pro:
+            in_specs += [row_spec, col_spec]
+            operands += [prow, pcol]
+        in_specs += [tw_spec, tiled_spec, data_spec]
+        operands += [tw, tiled, w_table]
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, r, c), jnp.uint32),
             grid=grid,
-            in_specs=[data_spec, row_spec, col_spec, tw_spec, tiled_spec, data_spec],
+            in_specs=in_specs,
             out_specs=data_spec,
             input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
-        )(x, prow, pcol, tw, tiled, w_table)
+        )(*operands)
 
-    def _pass2(self, y: jnp.ndarray, inverse: bool, erow, ecol) -> jnp.ndarray:
+    def _pass2(
+        self, y: jnp.ndarray, inverse: bool, erow, ecol, apply_epi: bool
+    ) -> jnp.ndarray:
         """Row NTTs (+ optional epilogue row/col multipliers).
-        y: (8, C, R) bit-reversed along axis 1.  Returns (8, C, R)."""
+        y: (8, C, R) bit-reversed along axis 1.  Returns (8, C, R).
+
+        apply_epi=False (all forward transforms — the coset prologue lives
+        in pass 1) drops the epilogue multipliers: bit-exact identity on
+        canonical values, two full-array mont_muls saved.  Inverse
+        transforms always apply it (it carries 1/n and the coset undo)."""
         r, c, b = self.R, self.C, self.lane_block
         body = _make_small_ntt_body(c, b)
         tw = jnp.asarray(self._tw_C[inverse])
         tiled = jnp.asarray(_tile_small_twiddles(self._tw_C[inverse], b))
 
-        def kernel(y_ref, erow_ref, ecol_ref, tw_ref, tiled_ref, o_ref):
-            o_ref[...] = y_ref[...]
+        def stages(o_ref, tw_ref, tiled_ref):
             length = 2
             while length <= c:
                 o_ref[...] = body(
                     o_ref[...], tw_ref[...], tiled_ref[...], length
                 )
                 length *= 2
-            yv = o_ref[...]
-            er = jnp.broadcast_to(erow_ref[...][:, :, None], yv.shape)
-            ec = jnp.broadcast_to(ecol_ref[...][:, None, :], yv.shape)
-            o_ref[...] = _k_mont_mul(_k_mont_mul(yv, er), ec)
+
+        if apply_epi:
+            def kernel(y_ref, erow_ref, ecol_ref, tw_ref, tiled_ref, o_ref):
+                o_ref[...] = y_ref[...]
+                stages(o_ref, tw_ref, tiled_ref)
+                yv = o_ref[...]
+                er = jnp.broadcast_to(erow_ref[...][:, :, None], yv.shape)
+                ec = jnp.broadcast_to(ecol_ref[...][:, None, :], yv.shape)
+                o_ref[...] = _k_mont_mul(_k_mont_mul(yv, er), ec)
+        else:
+            def kernel(y_ref, tw_ref, tiled_ref, o_ref):
+                o_ref[...] = y_ref[...]
+                stages(o_ref, tw_ref, tiled_ref)
 
         grid = (r // b,)
         data_spec = pl.BlockSpec(
@@ -304,39 +346,44 @@ class PallasNTT:
         tiled_spec = pl.BlockSpec(
             (NUM_LIMBS, 8, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
+        in_specs = [data_spec]
+        operands = [y]
+        if apply_epi:
+            in_specs += [row_spec, col_spec]
+            operands += [erow, ecol]
+        in_specs += [tw_spec, tiled_spec]
+        operands += [tw, tiled]
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, c, r), jnp.uint32),
             grid=grid,
-            in_specs=[data_spec, row_spec, col_spec, tw_spec, tiled_spec],
+            in_specs=in_specs,
             out_specs=data_spec,
             input_output_aliases={0: 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
-        )(y, erow, ecol, tw, tiled)
+        )(*operands)
 
     # -- public -----------------------------------------------------------
 
     def _transform(self, a: jnp.ndarray, inverse: bool, offset: int) -> jnp.ndarray:
-        ones_r = jnp.asarray(_mont_pack([1] * self.R))
-        ones_c = jnp.asarray(_mont_pack([1] * self.C))
-
         x = a.reshape(NUM_LIMBS, self.R, self.C)
         x = x[:, self._bitrev_R, :]
-        if not inverse and offset != 1:
+        apply_pro = not inverse and offset % P != 1
+        if apply_pro:
             prow, pcol = self._row_col_tables(offset, False)
         else:
-            prow, pcol = ones_r, ones_c
-        y = self._pass1(x, inverse, prow, pcol)
+            prow = pcol = None
+        y = self._pass1(x, inverse, prow, pcol, apply_pro)
 
         y = jnp.transpose(y, (0, 2, 1))  # (8, C=j2 axis, R=k1 lanes)
         y = y[:, self._bitrev_C, :]
         if inverse:
             erow, ecol = self._row_col_tables(offset, True)
         else:
-            erow, ecol = ones_c, ones_r
-        out = self._pass2(y, inverse, erow, ecol)
+            erow = ecol = None
+        out = self._pass2(y, inverse, erow, ecol, apply_epi=inverse)
         # layout (8, k2, k1): natural index k = k1 + R*k2 — plain reshape
         return out.reshape(NUM_LIMBS, self.n)
 
