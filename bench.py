@@ -60,12 +60,12 @@ def _bench_prove():
     return prove, verify, times[0][2]
 
 
-def _ntt_parity_check(logn=20):
+def _ntt_parity_check(logns=(16, 20)):
     """On-hardware bit-equality: the compiled Pallas four-step NTT must
     match the XLA stage-by-stage plan on CANONICAL Montgomery inputs at
-    the benchmark size, on the real device, before anything is timed
-    (VERDICT r1: interpret-mode tests alone don't pin the compiled
-    kernel).  Returns True; raises on any mismatch."""
+    a mid size and the benchmark size, on the real device, before
+    anything is timed (VERDICT r1: interpret-mode tests alone don't pin
+    the compiled kernel).  Returns True; raises on any mismatch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,49 +76,48 @@ def _ntt_parity_check(logn=20):
     from stark_tpu.ops.pallas_ntt import get_pallas_plan
     from stark_tpu.params import GENERATOR, P
 
-    n = 1 << logn
-    rng = np.random.default_rng(42)
-    # canonical residues (not raw 16-bit noise): pack enforces < p
-    vals = [int(v) % P for v in rng.integers(0, 1 << 63, n, dtype=np.int64)]
-    a = fo.to_mont(jnp.asarray(pack(vals)))
-    xla = get_plan(n)
-    pallas = get_pallas_plan(n)
-    for tag, f_x, f_p in [
-        ("forward", xla.forward, pallas.forward),
-        ("coset_forward",
-         lambda x: xla.coset_forward(x, GENERATOR),
-         lambda x: pallas.coset_forward(x, GENERATOR)),
-        ("inverse", xla.inverse, pallas.inverse),
-    ]:
-        want = np.asarray(jax.device_get(fo.from_mont(f_x(a))))
-        got = np.asarray(jax.device_get(fo.from_mont(f_p(a))))
-        if not np.array_equal(want, got):
-            raise AssertionError(
-                f"Pallas NTT {tag} mismatch vs XLA plan at 2^{logn}"
-            )
+    for logn in logns:
+        n = 1 << logn
+        rng = np.random.default_rng(42)
+        # canonical residues (not raw 16-bit noise): pack enforces < p
+        vals = [int(v) % P for v in rng.integers(0, 1 << 63, n, dtype=np.int64)]
+        a = fo.to_mont(jnp.asarray(pack(vals)))
+        xla = get_plan(n)
+        pallas = get_pallas_plan(n)
+        for tag, f_x, f_p in [
+            ("forward", xla.forward, pallas.forward),
+            ("coset_forward",
+             lambda x: xla.coset_forward(x, GENERATOR),
+             lambda x: pallas.coset_forward(x, GENERATOR)),
+            ("inverse", xla.inverse, pallas.inverse),
+        ]:
+            want = np.asarray(jax.device_get(fo.from_mont(f_x(a))))
+            got = np.asarray(jax.device_get(fo.from_mont(f_p(a))))
+            if not np.array_equal(want, got):
+                raise AssertionError(
+                    f"Pallas NTT {tag} mismatch vs XLA plan at 2^{logn}"
+                )
     return True
 
 
-def _bench_ntt(logn=20, iters=5):
-    import jax
+def _bench_ntt(logn=20, iters=10):
+    """Fetch-bracketed chain timing (utils.profiling.chain_time):
+    block_until_ready alone can return before compute finishes on this
+    backend, so the chain is timed through a host fetch of the result."""
     import jax.numpy as jnp
     import numpy as np
 
     from stark_tpu.ops.backend import best_plan
+    from stark_tpu.params import P
+    from stark_tpu.utils.profiling import chain_time
 
     n = 1 << logn
     plan = best_plan(n)  # Pallas four-step on TPU at this size
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
-    fwd = jax.jit(plan.forward)
-    out = fwd(a)
-    jax.block_until_ready(out)  # compile
-    t0 = time.perf_counter()
-    x = a
-    for _ in range(iters):
-        x = fwd(x)
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / iters
+    limbs = rng.integers(0, 1 << 16, (8, n), dtype=np.uint32)
+    limbs[7] = rng.integers(0, P >> 112, n, dtype=np.uint32)
+    a = jnp.asarray(limbs)
+    dt = chain_time(plan.forward, a, iters=iters)
     return n / dt, dt
 
 
@@ -151,28 +150,23 @@ def _bench_fibonacci_large(log_steps=16):
     return prove_s, verify_s, model.stark.fri_domain_length, stages
 
 
-def _bench_rescue(batch=4096, iters=3):
-    import jax
+def _bench_rescue(batch=4096, iters=5):
     import jax.numpy as jnp
     import numpy as np
 
-    from stark_tpu.ops import field_ops as fo
     from stark_tpu.ops import rescue as rescue_ops
+    from stark_tpu.utils.profiling import chain_time
 
     rng = np.random.default_rng(0)
     state = jnp.asarray(rng.integers(0, 1 << 16, (8, 2, batch), dtype=np.uint32))
-    out = rescue_ops.permutation_mont(state)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    x = state
-    for _ in range(iters):
-        x = rescue_ops.permutation_mont(x)
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / iters
+    dt = chain_time(rescue_ops.permutation_mont, state, iters=iters)
     return batch / dt
 
 
-def _bench_fold(logn=20, iters=5):
+def _bench_fold(logn=20, iters=10):
+    """Chained fold timing; the fold halves the codeword, so the chain
+    step duplicates the output back up — the extra concat write makes
+    this a slight UNDER-estimate of fold throughput."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -180,6 +174,7 @@ def _bench_fold(logn=20, iters=5):
     from stark_tpu.field import FieldElement
     from stark_tpu.ops.fold import _fold_tables, fold_mont
     from stark_tpu.params import GENERATOR
+    from stark_tpu.utils.profiling import chain_time
 
     n = 1 << logn
     rng = np.random.default_rng(0)
@@ -187,13 +182,13 @@ def _bench_fold(logn=20, iters=5):
     alpha = jnp.asarray(rng.integers(0, 1 << 16, (8, 1), dtype=np.uint32))
     omega = FieldElement.primitive_nth_root(n).value
     tab = jnp.asarray(_fold_tables(GENERATOR, omega, n // 2))
-    out = fold_mont(cw, alpha, tab)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fold_mont(cw, alpha, tab)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+
+    @jax.jit
+    def step(x):
+        y = fold_mont(x, alpha, tab)
+        return jnp.concatenate([y, y], axis=1)
+
+    dt = chain_time(step, cw, iters=iters)
     return n / dt
 
 
@@ -232,7 +227,7 @@ def main():
         "extra": {
             "verify_s": round(verify_s, 4),
             "proof_bytes": proof_bytes,
-            "pallas_vs_xla_bit_equal_2e20": parity_ok,
+            "pallas_vs_xla_bit_equal_2e16_2e20": parity_ok,
             "ntt_2e20_coeffs_per_s_per_chip": round(ntt_throughput),
             "ntt_2e20_seconds": round(ntt_s, 4),
             "rescue_hashes_per_s": round(rescue_throughput),

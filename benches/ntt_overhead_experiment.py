@@ -6,18 +6,11 @@ chains in add/sub — just no multiply pipeline). The gap bounds what
 multiply-side optimizations could ever win; the xor floor bounds what
 stage-fusion / relayout work could win.  Scratch harness, not a bench.
 
-Measured (v5e, 2026-08-17, after the identity-skip change):
-
-    2^20 forward [real    ]    8.90 ms ( 117.8 M coeffs/s)
-    2^20 forward [xor-stub]    6.71 ms ( 156.3 M coeffs/s)  -> 75% non-mul
-    2^22 forward [real    ]   22.25 ms ( 188.5 M coeffs/s)
-    2^22 forward [xor-stub]   17.98 ms ( 233.3 M coeffs/s)  -> 81% non-mul
-
-Conclusion: the kernel is dominated by the butterfly structure itself
-(add/sub carry+canonicalize chains and the per-stage sublane relayouts),
-not by Montgomery multiplies.  Shaving the multiply further is capped at
-~20-25%; the real lever is eliminating the per-stage structure entirely
-(e.g. small-NTT-as-matmul on the MXU with digit accumulation).
+A first run under the block_until_ready protocol suggested 75-81%
+non-multiply time — but that protocol was then shown to under-measure
+compute (utils.profiling.chain_time documents the traps), so this
+harness now times fetch-bracketed chains.  Honest results live in
+BENCHMARKS.md.
 """
 import os
 import sys
@@ -33,15 +26,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from stark_tpu.params import P
-
-
-def timeit(fn, repeat=3):
-    best = float("inf")
-    for _ in range(repeat):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def _xor_mul(a, b):
@@ -65,26 +49,17 @@ def run(logn, stub_muls, stub_addsub=False):
         patches.append(mock.patch.object(pntt, "_k_sub", _xor_mul))
     from contextlib import ExitStack
 
+    from stark_tpu.utils.profiling import chain_time
+
     with ExitStack() as ctx_stack:
         for p_ in patches:
             ctx_stack.enter_context(p_)
         plan = pntt.PallasNTT(n)  # fresh plan: no lru cache pollution
-        f = plan.forward
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(a))
-        compile_s = time.perf_counter() - t0
-
-        def chained():
-            x = a
-            for _ in range(5):
-                x = f(x)
-            jax.block_until_ready(x)
-
-        dt = timeit(chained) / 5
-    tag = "xor-stub" if stub_muls else "real"
+        dt = chain_time(plan.forward, a, iters=10)
+    tag = "xor-all" if stub_addsub else ("xor-stub" if stub_muls else "real")
     print(
         f"2^{logn} forward [{tag:8s}] {dt*1e3:7.2f} ms "
-        f"({n/dt/1e6:6.1f} M coeffs/s, first call {compile_s:.1f}s)"
+        f"({n/dt/1e6:6.1f} M coeffs/s)"
     )
     return dt
 
@@ -94,9 +69,10 @@ def main():
     for logn in (20, 22):
         real = run(logn, stub_muls=False)
         stub = run(logn, stub_muls=True)
+        bare = run(logn, stub_muls=True, stub_addsub=True)
         print(
-            f"2^{logn}: non-mul overhead = {stub*1e3:.2f} ms "
-            f"({100*stub/real:.0f}% of total)"
+            f"2^{logn}: non-mul = {stub*1e3:.2f} ms ({100*stub/real:.0f}%), "
+            f"pure relayout = {bare*1e3:.2f} ms ({100*bare/real:.0f}%)"
         )
 
 

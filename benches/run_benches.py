@@ -86,19 +86,15 @@ def bench_field():
         from stark_tpu.ops import field_ops as fo
         from stark_tpu.ops.limbs import pack
 
+        from stark_tpu.utils.profiling import chain_time
+
         for n in [1000, 100000]:
             vals = [rng.randrange(P) for _ in range(n)]
             arr = fo.to_mont(jax.numpy.asarray(pack(vals)))
-            jax.block_until_ready(fo.mont_mul(arr, arr))
-            dt = timeit(
-                lambda: jax.block_until_ready(fo.mont_mul(arr, arr)), repeat=3
-            )
-            out[f"device_mul_batch_{n}"] = dt / n
-            jax.block_until_ready(fo.mont_inv(arr))
-            dt = timeit(
-                lambda: jax.block_until_ready(fo.mont_inv(arr)), repeat=3
-            )
-            out[f"device_inverse_batch_{n}"] = dt / n
+            mul = jax.jit(lambda x: fo.mont_mul(x, arr))
+            out[f"device_mul_batch_{n}"] = chain_time(mul, arr, iters=10) / n
+            inv = jax.jit(fo.mont_inv)
+            out[f"device_inverse_batch_{n}"] = chain_time(inv, arr, iters=5) / n
     except Exception as exc:  # pragma: no cover
         out["device_error"] = str(exc)
     return out
@@ -241,24 +237,17 @@ def bench_ntt(max_logn=20):
 
     from stark_tpu.ops.backend import best_plan
 
+    from stark_tpu.utils.profiling import chain_time
+
     out = {}
     rng = np.random.default_rng(0)
     for logn in range(10, max_logn + 1, 2):
         n = 1 << logn
         plan = best_plan(n)
         a = jax.numpy.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
-        jax.block_until_ready(plan.forward(a))
-
-        def chained():
-            # pipeline several transforms per timing so per-dispatch RTT
-            # (large through a remote-TPU tunnel) amortizes — this is the
-            # steady-state throughput a streaming prover sees
-            x = a
-            for _ in range(5):
-                x = plan.forward(x)
-            jax.block_until_ready(x)
-
-        dt = timeit(chained, repeat=3) / 5
+        # fetch-bracketed data-dependent chains: block_until_ready alone
+        # can return before compute finishes on the remote-tunnel backend
+        dt = chain_time(plan.forward, a, iters=10)
         out[f"device_ntt_2e{logn}"] = dt
         out[f"device_ntt_2e{logn}_coeffs_per_s"] = round(n / dt)
     return out

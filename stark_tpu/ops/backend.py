@@ -33,7 +33,12 @@ from .ntt import get_plan
 
 #: sizes at/above this use the Pallas four-step NTT (measured crossover on
 #: TPU v5e: XLA wins below ~2^18, Pallas wins 2.1x at 2^20 and 5.7x at 2^22)
-PALLAS_NTT_MIN_SIZE = 1 << 18
+# Honest (fetch-bracketed) timing shows the Pallas four-step beating the
+# XLA stage-by-stage plan at EVERY size it supports (2^16: 0.02 vs 0.38
+# ms; 2^18: 0.96 vs 5.7 ms; benches/crossover_retime.py) — the round-1
+# 2^18 crossover was an artifact of block_until_ready under-measurement.
+# 2^13 is the kernel's minimum (C = 128 lanes, R = 64 >= 8 sublanes).
+PALLAS_NTT_MIN_SIZE = 1 << 13
 
 
 def best_plan(n: int):

@@ -17,6 +17,14 @@ v, inv (three inputs sharing the same index map on the last axis) plus the
 
 Falls back transparently if Pallas is unavailable; bit-equality with the
 XLA path is pinned by tests (interpret mode on CPU, compiled on TPU).
+
+NOT wired into the production fold path on purpose: honest
+(fetch-bracketed) timing has the XLA ``fold_mont`` ahead at both 2^18
+(0.40 vs 0.42 ms) and 2^20 (1.3 vs 1.8 ms) — XLA's fusion of the 4
+mont_muls + adds is already optimal for this bandwidth-light op
+(benches/crossover_retime.py).  The kernel is kept as the reference
+implementation for in-VMEM Montgomery arithmetic (its ``_k_*`` helpers
+are the building blocks of the Pallas NTT).
 """
 
 from __future__ import annotations

@@ -1,6 +1,13 @@
 """Utilities: structured logging and lightweight profiling."""
 
 from .logging import get_logger
-from .profiling import Timer, profile_region
+from .profiling import Timer, chain_time, fetch_scalar, measure_rtt, profile_region
 
-__all__ = ["get_logger", "Timer", "profile_region"]
+__all__ = [
+    "get_logger",
+    "Timer",
+    "chain_time",
+    "fetch_scalar",
+    "measure_rtt",
+    "profile_region",
+]

@@ -41,6 +41,53 @@ class Timer:
         return "; ".join(lines)
 
 
+def fetch_scalar(x) -> int:
+    """Host-fetch one value derived from ``x``, forcing every pending
+    computation ``x`` depends on to actually finish."""
+    import jax
+    import jax.numpy as jnp
+
+    return int(jax.device_get(jnp.max(x[..., :1])))
+
+
+def measure_rtt(x, repeats: int = 3) -> float:
+    """Fetch floor (seconds) for an already-materialized device buffer."""
+    fetch_scalar(x)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fetch_scalar(x)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chain_time(step, x0, iters: int = 10, repeats: int = 3) -> float:
+    """Trustworthy per-op device timing: best-of-``repeats`` seconds for
+    one application of ``step``, measured over ``iters``-long
+    data-dependent chains bracketed by a host fetch.
+
+    Two async-dispatch measurement traps this avoids (both observed on
+    this project's remote-tunnel TPU backend, see BENCHMARKS.md):
+    ``block_until_ready`` returning before the computation has actually
+    finished, and repeat dispatches of byte-identical (executable,
+    inputs) pairs being deduplicated.  ``step`` must feed its output to
+    the next input so every dispatch is distinct, and the chain is timed
+    through ``fetch_scalar`` (minus the separately measured fetch floor).
+    """
+    x = step(x0)
+    fetch_scalar(x)  # compile + drain
+    rtt = measure_rtt(x)
+    best = float("inf")
+    for _ in range(repeats):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        fetch_scalar(x)
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 0.0) / iters
+
+
 @contextlib.contextmanager
 def profile_region(name: str):
     """JAX device trace region, active when STARK_TPU_PROFILE_DIR is set."""

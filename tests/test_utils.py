@@ -26,6 +26,29 @@ def test_profile_region_noop_without_env(monkeypatch):
         pass  # must be a no-op without the env var
 
 
+def test_chain_time_measures_device_ops():
+    import jax
+    import jax.numpy as jnp
+
+    from stark_tpu.utils import chain_time
+
+    calls = []
+
+    @jax.jit
+    def step(x):
+        return (x * 3 + 1) % 1009
+
+    def counted(x):
+        calls.append(1)
+        return step(x)
+
+    x0 = jnp.arange(256, dtype=jnp.uint32)
+    dt = chain_time(counted, x0, iters=4, repeats=2)
+    assert dt >= 0.0
+    # 1 warm-up + repeats * iters chained applications
+    assert len(calls) == 1 + 2 * 4
+
+
 def test_logger_is_quiet_by_default(capsys):
     log = get_logger("stark_tpu.test")
     log.info("should not appear at default level")
