@@ -220,6 +220,18 @@ class Fri:
         a_indices = list(c_indices)
         b_indices = [idx + half for idx in c_indices]
 
+        # device-resident codewords/trees: pull every value and auth-path
+        # sibling this round will open in a few batched fetches instead of
+        # per-index round trips (no-ops for host lists/trees)
+        for obj, idxs in (
+            (current_codeword, a_indices + b_indices),
+            (next_codeword, c_indices),
+            (current_tree, a_indices + b_indices),
+            (next_tree, c_indices),
+        ):
+            if hasattr(obj, "prefetch"):
+                obj.prefetch(idxs)
+
         for s in range(self.num_colinearity_tests):
             proof_stream.push(
                 json_string_triple(

@@ -1,0 +1,371 @@
+"""Device-resident Blake2b-256 Merkle commitment.
+
+The prover's commitment step was the dominant cost of TPU-scale proving:
+committing a 2^20-element codeword meant fetching a 16 MB digit matrix
+to the host (measured ~10 MB/s through this machine's TPU tunnel:
+1.2-1.8 s) and hashing 2M small inputs in C (1.4+ s) — 3-6 s per tree,
+several trees per proof (benches/merkle_cost_split.py).
+
+This module hashes the tree ON the device instead.  Blake2b-256 is pure
+64-bit add/xor/rotate; on a TPU without a 64-bit integer datapath each
+u64 word is an explicit (lo, hi) pair of uint32 lanes (adds propagate
+one carry; the four rotation amounts 32/24/16/63 are cheap u32
+shift/or pairs — rotr32 is a free word swap).  A whole batch of
+single-block hashes is one unrolled 12-round compression over (w,)-wide
+vectors, so leaf hashing and every tree level are full-width VPU work:
+
+* leaves: ``bincode(FieldElement)`` (sign u32, digit-count u64, base-2^32
+  digits — reference fri.rs:119, stark.rs:302, serialization.py) is at
+  most 28 bytes, a single Blake2b block whose message words come
+  straight from the codeword's plain-form digit pairs; the per-leaf
+  byte length ``t = 12 + 4*k`` is the only data-dependent part;
+* interior nodes: H(left || right) of 32-byte digests — 64-byte single
+  blocks built by even/odd column slicing of the child level.
+
+The full tree for one codeword is ONE jitted dispatch (leaf digests plus
+all levels down to a 1024-wide tail); the host sees 32 KB of tail, and
+the upper levels stay on the device for query openings, which are
+batched gathers (``prefetch``) fetched once per tree.
+
+Trees are byte-identical to :class:`stark_tpu.merkle.MerkleTree` over
+the same codeword (reference semantics merkle.rs:17-51); pinned by
+tests/test_device_merkle.py against hashlib on CPU.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashing import merkle_level
+from ..params import NUM_LIMBS
+from . import field_ops as fo
+
+# Blake2b IV and the parameter-block word for an unkeyed 32-byte digest
+# (digest_length=32, fanout=1, depth=1): h[0] = IV[0] ^ 0x01010020.
+_IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+    0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+    0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+_H0 = _IV[0] ^ 0x01010020
+
+_SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+)
+
+#: tree levels at or below this width are fetched and finished on the
+#: host (32 KB at 1024) — gathers over tiny levels aren't worth dispatches
+TAIL_WIDTH = 1024
+
+#: smallest codeword the device tree is used for (below this the digit
+#: fetch is cheap and the host native-C path wins on latency)
+DEVICE_TREE_MIN = 8192
+
+_ZERO = 0  # sentinel for all-zero message words (their adds are skipped)
+
+
+def _c(x):
+    """u64 constant as a (lo, hi) pair of uint32 scalars (traced as
+    constants and folded by XLA)."""
+    return (
+        jnp.asarray(x & 0xFFFFFFFF, dtype=jnp.uint32),
+        jnp.asarray((x >> 32) & 0xFFFFFFFF, dtype=jnp.uint32),
+    )
+
+
+def _add(a, b):
+    lo = a[0] + b[0]
+    carry = (lo < b[0]).astype(jnp.uint32)
+    return lo, a[1] + b[1] + carry
+
+
+def _add3(a, b, x):
+    s = _add(a, b)
+    if x is _ZERO:
+        return s
+    return _add(s, x)
+
+
+def _xor(a, b):
+    return a[0] ^ b[0], a[1] ^ b[1]
+
+
+def _rotr32(a):
+    return a[1], a[0]
+
+
+def _rotr24(a):
+    lo, hi = a
+    return (lo >> 24) | (hi << 8), (hi >> 24) | (lo << 8)
+
+
+def _rotr16(a):
+    lo, hi = a
+    return (lo >> 16) | (hi << 16), (hi >> 16) | (lo << 16)
+
+
+def _rotr63(a):
+    lo, hi = a
+    return (lo << 1) | (hi >> 31), (hi << 1) | (lo >> 31)
+
+
+def _g(v, a, b, c, d, x, y, fence=False):
+    v[a] = _add3(v[a], v[b], x)
+    v[d] = _rotr32(_xor(v[d], v[a]))
+    v[c] = _add(v[c], v[d])
+    v[b] = _rotr24(_xor(v[b], v[c]))
+    v[a] = _add3(v[a], v[b], y)
+    v[d] = _rotr16(_xor(v[d], v[a]))
+    v[c] = _add(v[c], v[d])
+    v[b] = _rotr63(_xor(v[b], v[c]))
+    if fence:
+        fa, fb, fc, fd = jax.lax.optimization_barrier(
+            (v[a], v[b], v[c], v[d])
+        )
+        v[a], v[b], v[c], v[d] = fa, fb, fc, fd
+
+
+# SIGMA with the message PRE-permuted per round: rows 10, 11 reuse 0, 1.
+_SIGMA_FULL = np.asarray(
+    [_SIGMA[r % 10] for r in range(12)], dtype=np.int32
+)
+
+
+def blake2b256_single_block(m, t):
+    """Vectorized single-final-block Blake2b-256.
+
+    ``m``: 16 message words, each a (lo, hi) pair of (w,) uint32 arrays
+    or the ``_ZERO`` sentinel; ``t``: total byte length — a (w,) uint32
+    array or a python int.  Returns 8 (w,) uint32 arrays: the 32-byte
+    digests as interleaved lo/hi words of h[0..3] (little-endian bytes).
+
+    The 12 rounds run as a ``lax.fori_loop`` whose body is ONE round
+    (message words gathered through the SIGMA table): a fully unrolled
+    compress makes XLA:CPU's compile time explode superlinearly past
+    ~2 rounds (measured: 1 round 0.3 s, 2 rounds 1.1 s, 4 rounds
+    minutes+ — optimization barriers do NOT cap it), and the loop also
+    keeps the whole-tree jit small for the TPU.
+    """
+    # materialize message words (zeros included) as one (16, 2, w) array
+    shape = None
+    for word in m:
+        if word is not _ZERO:
+            cand = jnp.broadcast_shapes(
+                jnp.shape(word[0]), jnp.shape(word[1])
+            )
+            shape = cand if shape is None else jnp.broadcast_shapes(shape, cand)
+    zero = jnp.zeros(shape, dtype=jnp.uint32)
+    rows = []
+    for word in m:
+        if word is _ZERO:
+            rows.append(jnp.stack([zero, zero]))
+        else:
+            rows.append(
+                jnp.stack([
+                    jnp.broadcast_to(jnp.asarray(word[0], jnp.uint32), shape),
+                    jnp.broadcast_to(jnp.asarray(word[1], jnp.uint32), shape),
+                ])
+            )
+    m_arr = jnp.stack(rows)  # (16, 2, w)
+    sigma = jnp.asarray(_SIGMA_FULL)
+
+    h = [_c(_H0)] + [_c(w) for w in _IV[1:]]
+    v = list(h) + [_c(w) for w in _IV]
+    tlo = t if not isinstance(t, int) else np.uint32(t)
+    v[12] = (v[12][0] ^ tlo, v[12][1])
+    v[14] = (~v[14][0], ~v[14][1])  # final-block flag f0 = ~0
+    v_arr = jnp.stack([
+        jnp.stack([
+            jnp.broadcast_to(jnp.asarray(p[0], jnp.uint32), shape),
+            jnp.broadcast_to(jnp.asarray(p[1], jnp.uint32), shape),
+        ])
+        for p in v
+    ])  # (16, 2, w)
+
+    def round_body(r, acc):
+        sel = m_arr[sigma[r]]  # (16, 2, w) — this round's message order
+        vv = [(acc[i, 0], acc[i, 1]) for i in range(16)]
+        mm = [(sel[j, 0], sel[j, 1]) for j in range(16)]
+        _g(vv, 0, 4, 8, 12, mm[0], mm[1])
+        _g(vv, 1, 5, 9, 13, mm[2], mm[3])
+        _g(vv, 2, 6, 10, 14, mm[4], mm[5])
+        _g(vv, 3, 7, 11, 15, mm[6], mm[7])
+        _g(vv, 0, 5, 10, 15, mm[8], mm[9])
+        _g(vv, 1, 6, 11, 12, mm[10], mm[11])
+        _g(vv, 2, 7, 8, 13, mm[12], mm[13])
+        _g(vv, 3, 4, 9, 14, mm[14], mm[15])
+        return jnp.stack([jnp.stack([p[0], p[1]]) for p in vv])
+
+    v_arr = jax.lax.fori_loop(0, 12, round_body, v_arr)
+
+    out = []
+    for i in range(4):
+        hi_word = _xor(
+            _xor(h[i], (v_arr[i, 0], v_arr[i, 1])),
+            (v_arr[i + 8, 0], v_arr[i + 8, 1]),
+        )
+        out.append(jnp.broadcast_to(hi_word[0], shape))
+        out.append(jnp.broadcast_to(hi_word[1], shape))
+    return out
+
+
+def leaf_digests(mont: jnp.ndarray):
+    """(8, w) Montgomery limbs -> 8 rows of (w,) digest words for the
+    bincode(FieldElement) leaves (single Blake2b block each)."""
+    plain = fo.from_mont(mont)
+    d = [plain[2 * j] | (plain[2 * j + 1] << 16) for j in range(4)]
+    one = jnp.uint32(1)
+    k = jnp.where(
+        d[3] != 0, jnp.uint32(4),
+        jnp.where(d[2] != 0, jnp.uint32(3),
+                  jnp.where(d[1] != 0, jnp.uint32(2),
+                            jnp.where(d[0] != 0, one, jnp.uint32(0)))),
+    )
+    sign = jnp.where(k > 0, jnp.uint32(2), one)  # Plus=2 / NoSign=1
+    t = jnp.uint32(12) + jnp.uint32(4) * k
+    zero = jnp.zeros_like(d[0])
+    m = [
+        (sign, k),
+        (zero, d[0]),
+        (d[1], d[2]),
+        (d[3], zero),
+    ] + [_ZERO] * 12
+    return blake2b256_single_block(m, t)
+
+
+def level_hash(child_rows):
+    """One interior level: 8 rows of (w,) digest words -> 8 rows of
+    (w/2,) parent digest words (H(left || right), 64-byte blocks)."""
+    left = [r[0::2] for r in child_rows]
+    right = [r[1::2] for r in child_rows]
+    m = [
+        (left[0], left[1]), (left[2], left[3]),
+        (left[4], left[5]), (left[6], left[7]),
+        (right[0], right[1]), (right[2], right[3]),
+        (right[4], right[5]), (right[6], right[7]),
+    ] + [_ZERO] * 8
+    return blake2b256_single_block(m, 64)
+
+
+@lru_cache(maxsize=32)
+def _tree_fn(n: int):
+    """Jitted whole-tree builder for size n: Montgomery codeword in,
+    (leaf level, every level down to TAIL_WIDTH) out, one dispatch."""
+
+    def build(mont):
+        rows = leaf_digests(mont)
+        out = [jnp.stack(rows)]
+        w = n
+        while w > TAIL_WIDTH:
+            rows = level_hash(rows)
+            w //= 2
+            out.append(jnp.stack(rows))
+        return tuple(out)
+
+    return jax.jit(build)
+
+
+def _digest_bytes(words: np.ndarray) -> bytes:
+    """(8,) uint32 words -> 32 digest bytes."""
+    return np.ascontiguousarray(words.astype("<u4")).tobytes()
+
+
+def _level_bytes(arr: np.ndarray) -> bytes:
+    """(8, w) uint32 level -> concatenated 32-byte digests."""
+    return np.ascontiguousarray(arr.T.astype("<u4")).tobytes()
+
+
+class DeviceMerkleTree:
+    """Merkle tree whose upper levels live on the device.
+
+    Same public surface as :class:`stark_tpu.merkle.MerkleTree` (``root``,
+    ``open``, ``num_leaves``) plus ``prefetch(indices)`` which pulls every
+    auth-path sibling those indices will need in one batched fetch per
+    tree.  ``open`` without prefetch still works (one tiny fetch per
+    device-level sibling)."""
+
+    __slots__ = (
+        "num_leaves", "_device_levels", "_host_levels", "_log_n",
+        "_log_tail_gap", "_sib_cache",
+    )
+
+    def __init__(self, mont: jnp.ndarray) -> None:
+        n = int(mont.shape[1])
+        if n < 2 * TAIL_WIDTH or n & (n - 1):
+            raise ValueError(
+                f"device tree needs a power-of-two codeword >= {2 * TAIL_WIDTH}"
+            )
+        arrays = _tree_fn(n)(mont)
+        self.num_leaves = n
+        # widths n .. 2*TAIL stay device-resident; the TAIL-wide level is
+        # fetched (32 KB) and the top finishes on the host
+        self._device_levels = list(arrays[:-1])
+        tail = _level_bytes(np.asarray(jax.device_get(arrays[-1])))
+        host_levels = [tail]
+        while len(host_levels[-1]) > 32:
+            host_levels.append(merkle_level(host_levels[-1]))
+        self._host_levels = host_levels
+        self._log_n = n.bit_length() - 1
+        self._log_tail_gap = self._log_n - TAIL_WIDTH.bit_length() + 1
+        self._sib_cache: Dict[tuple, bytes] = {}
+
+    @property
+    def root(self) -> bytes:
+        return self._host_levels[-1]
+
+    def prefetch(self, indices: Sequence[int]) -> None:
+        """Batch-gather every device-level sibling the auth paths of
+        ``indices`` will touch; one host fetch for the whole tree."""
+        wanted: List[tuple] = []
+        per_level: List[List[int]] = []
+        for lvl in range(len(self._device_levels)):
+            sibs = sorted({(int(i) >> lvl) ^ 1 for i in indices})
+            sibs = [s for s in sibs if (lvl, s) not in self._sib_cache]
+            per_level.append(sibs)
+            wanted.extend((lvl, s) for s in sibs)
+        if not wanted:
+            return
+        gathered = [
+            self._device_levels[lvl][:, jnp.asarray(sibs, dtype=jnp.int32)]
+            for lvl, sibs in enumerate(per_level)
+            if sibs
+        ]
+        flat = np.asarray(jax.device_get(jnp.concatenate(gathered, axis=1)))
+        for col, (lvl, s) in enumerate(wanted):
+            self._sib_cache[(lvl, s)] = _digest_bytes(flat[:, col])
+
+    def _device_sibling(self, lvl: int, sib: int) -> bytes:
+        key = (lvl, sib)
+        if key not in self._sib_cache:
+            col = np.asarray(jax.device_get(self._device_levels[lvl][:, sib]))
+            self._sib_cache[key] = _digest_bytes(col)
+        return self._sib_cache[key]
+
+    def open(self, index: int) -> List[bytes]:
+        """Auth path: sibling digests, leaf level first (byte-identical
+        to MerkleTree.open; reference merkle.rs:54-93)."""
+        if not 0 <= index < self.num_leaves:
+            raise IndexError("leaf index out of range")
+        path: List[bytes] = []
+        for lvl in range(self._log_n):
+            sib = (index >> lvl) ^ 1
+            if lvl < len(self._device_levels):
+                path.append(self._device_sibling(lvl, sib))
+            else:
+                host = self._host_levels[lvl - self._log_tail_gap]
+                path.append(host[32 * sib : 32 * sib + 32])
+        return path

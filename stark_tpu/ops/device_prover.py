@@ -98,12 +98,13 @@ class DeviceCodeword:
     """An (8, n) Montgomery codeword on device, with a lazily gathered
     host digit matrix for hashing/openings."""
 
-    __slots__ = ("mont", "core", "_digits")
+    __slots__ = ("mont", "core", "_digits", "_val_cache")
 
     def __init__(self, mont: jnp.ndarray, core: "DeviceProverCore") -> None:
         self.mont = mont
         self.core = core
         self._digits = None
+        self._val_cache: Dict[int, int] = {}
 
     def __len__(self) -> int:
         # codeword length regardless of layout: (8, n) natural or
@@ -119,14 +120,60 @@ class DeviceCodeword:
             self._digits = self.core.to_digits(self.mont)
         return self._digits
 
+    def prefetch_values(self, indices) -> None:
+        """Batch-gather a handful of leaf values (one small host fetch)
+        without materializing the full digit matrix — the point of the
+        device-resident commitment path (the full fetch at 2^20 is 16 MB
+        over a ~10 MB/s tunnel)."""
+        if self._digits is not None or self.mont.ndim != 2:
+            return  # digits already on host (or four-step layout)
+        idx = sorted({int(i) for i in indices} - self._val_cache.keys())
+        if not idx:
+            return
+        gathered = self.mont[:, jnp.asarray(idx, dtype=jnp.int32)]
+        d = np.asarray(jax.device_get(_plain_digits(gathered))).T
+        for row, i in enumerate(idx):
+            self._val_cache[i] = digits_value(d, row)
+
     def value(self, i: int) -> int:
+        i = int(i)
+        if self._digits is None and self.mont.ndim == 2:
+            if i not in self._val_cache:
+                self.prefetch_values([i])
+            return self._val_cache[i]
         return digits_value(self.digits, i)
 
-    def view(self) -> DigitsView:
-        return DigitsView(self.digits)
+    def view(self) -> "DeviceCodewordView":
+        return DeviceCodewordView(self)
 
     def to_list(self) -> List[int]:
         return list(self.view())
+
+
+class DeviceCodewordView:
+    """List-of-ints facade over a :class:`DeviceCodeword` that reads
+    single values through the gather cache (``prefetch`` hook for the
+    FRI query phase) and only materializes the full digit matrix when
+    actually iterated (the last, tiny FRI codeword)."""
+
+    __slots__ = ("_dcw",)
+
+    def __init__(self, dcw: DeviceCodeword) -> None:
+        self._dcw = dcw
+
+    def __len__(self) -> int:
+        return len(self._dcw)
+
+    def __getitem__(self, i: int) -> int:
+        return self._dcw.value(i)
+
+    def prefetch(self, indices) -> None:
+        self._dcw.prefetch_values(indices)
+
+    def __iter__(self):
+        digits = self._dcw.digits  # full fetch: only for small codewords
+        for i in range(len(self)):
+            yield digits_value(digits, i)
 
 
 # ---------------------------------------------------------------------------
@@ -227,8 +274,22 @@ class DeviceProverCore:
         return mont_to_digits(mont)
 
     def merkle_tree(self, dcw: DeviceCodeword):
-        """Merkle commitment over the codeword's bincode leaves (native C
-        hashing from the digit matrix)."""
+        """Merkle commitment over the codeword's bincode leaves.
+
+        Large natural-layout codewords hash ON the device (vectorized
+        Blake2b-256, :mod:`stark_tpu.ops.device_merkle`) — only the
+        32 KB level tail, the root and the opened siblings ever cross to
+        the host.  Small codewords take the digit-matrix + native-C path
+        (lower latency than a device dispatch round-trip).  Roots and
+        auth paths are byte-identical either way (pinned by tests)."""
+        from .device_merkle import DEVICE_TREE_MIN, DeviceMerkleTree
+
+        if (
+            dcw.mont.ndim == 2
+            and dcw.mont.shape[1] >= DEVICE_TREE_MIN
+            and dcw._digits is None
+        ):
+            return DeviceMerkleTree(dcw.mont)
         from ..merkle import MerkleTree
 
         return MerkleTree.from_digits(dcw.digits)

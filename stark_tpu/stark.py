@@ -802,6 +802,16 @@ class Stark:
         )
 
         with prof.region("openings"):
+            # batch every device-side gather before the serialization loops
+            for obj, idxs in (
+                [(cw, duplicated_indices) for cw in boundary_quotient_codewords]
+                + [(t, duplicated_indices) for t in boundary_quotient_trees]
+                + [(randomizer_codeword, indices), (randomizer_tree, indices)]
+            ):
+                for attr in ("prefetch_values", "prefetch"):
+                    if hasattr(obj, attr):
+                        getattr(obj, attr)(idxs)
+                        break
             for s in range(self.num_registers):
                 codeword = boundary_quotient_codewords[s]
                 tree = boundary_quotient_trees[s]
