@@ -239,7 +239,16 @@ class DeviceProverCore:
             coeffs = plan.coset_inverse(cw, offset_v)
             return fo.is_zero(coeffs)
 
+        def ext_mont(a):  # (8, m) Montgomery coefficients, m <= n
+            m = a.shape[1]
+            if m < n:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((NUM_LIMBS, n - m), jnp.uint32)], axis=1
+                )
+            return plan.coset_forward(a, offset_v)
+
         self._ext_jit = jax.jit(ext)
+        self._ext_mont_jit = jax.jit(ext_mont)
         self._restrict_iszero_jit = jax.jit(restrict_iszero)
 
     # -- RS extension ------------------------------------------------------
@@ -260,6 +269,14 @@ class DeviceProverCore:
         """Coefficients (plain ints, lowest-first) -> (8, n) Montgomery
         codeword over the coset {offset * omega^i}."""
         return self._ext_jit(jnp.asarray(self._padded_plain(coeffs)))
+
+    def extend_mont(self, coeffs_mont: jnp.ndarray) -> jnp.ndarray:
+        """Device-resident Montgomery coefficient array (8, m) -> (8, n)
+        coset codeword — the RS-extension for coefficients that never
+        lived on the host (device trace interpolation)."""
+        if coeffs_mont.shape[1] > self.n:
+            raise ValueError("coefficient vector longer than the domain")
+        return self._ext_mont_jit(coeffs_mont)
 
     def extend_codeword(self, coeffs: Sequence[int]) -> DeviceCodeword:
         return DeviceCodeword(self.extend(coeffs), self)

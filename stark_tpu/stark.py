@@ -650,7 +650,11 @@ class Stark:
         weights_mont = jnp.asarray(_mont_pack([w.value for w in weights]))
 
         trace_cws = tuple(
-            core.extend(tp.coeffs) for tp in trace_polynomials
+            # host Polynomial, or a device-resident Montgomery coefficient
+            # array from the device trace interpolation
+            core.extend(tp.coeffs) if hasattr(tp, "coeffs")
+            else core.extend_mont(tp)
+            for tp in trace_polynomials
         )
 
         fn = core.combination_fn(
@@ -708,28 +712,72 @@ class Stark:
                     ]
                 )
 
+        core = self._device_core()
+        # long traces: interpolate, RS-extend and form boundary quotients
+        # entirely on the device (device chirp interpolation + pointwise
+        # eval-space division by the boundary zeroifier — exact division
+        # makes the codewords bit-identical to the host polynomial path)
+        dev_interp = len(trace) > 256 and hasattr(core, "extend_mont")
         with prof.region("trace_interpolation"):
-            trace_domain = self.omicron_domain[: len(trace)]
-            trace_polynomials = []
-            for s in range(self.num_registers):
-                column = [trace[c][s] for c in range(len(trace))]
-                trace_polynomials.append(
-                    self._interpolate_trace(trace_domain, column)
-                )
+            if dev_interp:
+                import jax.numpy as jnp
+
+                from .ops import field_ops as fo
+                from .ops.geometric_device import device_geometric_interpolate
+                from .ops.limbs import pack as _pack
+
+                trace_polynomials = []
+                for s in range(self.num_registers):
+                    column = [trace[c][s].value for c in range(len(trace))]
+                    col_mont = fo.to_mont(jnp.asarray(_pack(column)))
+                    trace_polynomials.append(
+                        device_geometric_interpolate(
+                            col_mont, 1, self.omicron.value
+                        )
+                    )
+            else:
+                trace_domain = self.omicron_domain[: len(trace)]
+                trace_polynomials = []
+                for s in range(self.num_registers):
+                    column = [trace[c][s] for c in range(len(trace))]
+                    trace_polynomials.append(
+                        self._interpolate_trace(trace_domain, column)
+                    )
 
         with prof.region("boundary_polys"):
             interpolants = self.boundary_interpolants(boundary)
             zeroifiers = self.boundary_zeroifiers(boundary)
-            boundary_quotients = [
-                (trace_polynomials[s] - interpolants[s]) / zeroifiers[s]
-                for s in range(self.num_registers)
-            ]
+            if not dev_interp:
+                boundary_quotients = [
+                    (trace_polynomials[s] - interpolants[s]) / zeroifiers[s]
+                    for s in range(self.num_registers)
+                ]
 
-        core = self._device_core()
         with prof.region("bq_extend"):
-            boundary_quotient_codewords = [
-                core.extend_codeword(bq.coeffs) for bq in boundary_quotients
-            ]
+            if dev_interp:
+                from .ops.device_prover import DeviceCodeword, geometric_table
+                from .ops.geometric_device import horner_eval
+
+                x_tab = geometric_table(
+                    self.omega.value, self.generator.value,
+                    self.fri_domain_length,
+                )
+                boundary_quotient_codewords = []
+                for s in range(self.num_registers):
+                    t_cw = core.extend_mont(trace_polynomials[s])
+                    i_cw = horner_eval(interpolants[s].coeffs, x_tab)
+                    z_cw = horner_eval(zeroifiers[s].coeffs, x_tab)
+                    bq_mont = fo.mont_mul(
+                        fo.sub(t_cw, i_cw), fo.mont_inv(z_cw)
+                    )
+                    boundary_quotient_codewords.append(
+                        DeviceCodeword(bq_mont, core)
+                    )
+            else:
+                boundary_quotient_codewords = [
+                    core.extend_codeword(bq.coeffs)
+                    for bq in boundary_quotients
+                ]
         with prof.region("bq_merkle"):
             boundary_quotient_trees = []
             for cw in boundary_quotient_codewords:
@@ -739,8 +787,10 @@ class Stark:
 
         max_degree = self.combination_degree(transition_constraints)
         with prof.region("randomizer_poly"):
+            # same rng byte stream as FieldElement.sample(self.rng(17))
+            # per coefficient, parsed without per-element object overhead
             randomizer_coeffs = [
-                FieldElement.sample(self.rng(17)).value
+                int.from_bytes(self.rng(17), "big") % P
                 for _ in range(max_degree + 1)
             ]
             randomizer_codeword = core.extend_codeword(randomizer_coeffs)
@@ -764,7 +814,7 @@ class Stark:
         weights = self.sample_weights(
             1
             + 2 * len(transition_constraints)
-            + 2 * len(boundary_quotients),
+            + 2 * len(boundary_quotient_codewords),
             proof_stream.prover_fiat_shamir(32),
         )
 
