@@ -247,6 +247,63 @@ class Fri:
 
         return a_indices + b_indices
 
+    def _batch_prefetch(self, codewords, trees, top_indices) -> None:
+        """Device provers: every round's index set is a deterministic
+        function of the top-level indices, so ALL auth-path siblings and
+        opened values of the whole query phase can be gathered up front —
+        two host fetches total instead of several per round (each fetch
+        pays a full tunnel round trip).  No-op for host lists/trees."""
+        from collections import defaultdict
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        cw_idx: dict = defaultdict(set)
+        tr_idx: dict = defaultdict(set)
+        indices = list(top_indices)
+        for i in range(len(codewords) - 1):
+            half = len(codewords[i]) // 2
+            indices = [x % half for x in indices]
+            a = list(indices)
+            b = [x + half for x in a]
+            cw_idx[i].update(a + b)
+            cw_idx[i + 1].update(a)
+            tr_idx[i].update(a + b)
+            tr_idx[i + 1].update(a)
+            indices = a + b
+
+        tree_jobs = []
+        for i, idxs in tr_idx.items():
+            t = trees[i]
+            if hasattr(t, "gather_siblings_async"):
+                keys, arr = t.gather_siblings_async(sorted(idxs))
+                if keys:
+                    tree_jobs.append((t, keys, arr))
+        val_jobs = []
+        for i, idxs in cw_idx.items():
+            dcw = getattr(codewords[i], "_dcw", None)
+            if dcw is not None and hasattr(dcw, "gather_values_async"):
+                idx, arr = dcw.gather_values_async(sorted(idxs))
+                if idx:
+                    val_jobs.append((dcw, idx, arr))
+        if tree_jobs:
+            flat = np.asarray(jax.device_get(
+                jnp.concatenate([arr for _, _, arr in tree_jobs], axis=1)
+            ))
+            off = 0
+            for t, keys, _ in tree_jobs:
+                t.absorb_siblings(keys, flat[:, off : off + len(keys)])
+                off += len(keys)
+        if val_jobs:
+            flat = np.asarray(jax.device_get(
+                jnp.concatenate([arr for _, _, arr in val_jobs], axis=1)
+            ))
+            off = 0
+            for dcw, idx, _ in val_jobs:
+                dcw.absorb_values(idx, flat[:, off : off + len(idx)])
+                off += len(idx)
+
     def _query_phase(
         self, codewords: Sequence, trees: List[MerkleTree], proof_stream: ProofStream
     ) -> List[int]:
@@ -258,6 +315,7 @@ class Fri:
             len(codewords[-1]),
             self.num_colinearity_tests,
         )
+        self._batch_prefetch(codewords, trees, top_level_indices)
         indices = list(top_level_indices)
 
         for i in range(len(codewords) - 1):

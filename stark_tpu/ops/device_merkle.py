@@ -327,9 +327,12 @@ class DeviceMerkleTree:
     def root(self) -> bytes:
         return self._host_levels[-1]
 
-    def prefetch(self, indices: Sequence[int]) -> None:
-        """Batch-gather every device-level sibling the auth paths of
-        ``indices`` will touch; one host fetch for the whole tree."""
+    def gather_siblings_async(self, indices: Sequence[int]):
+        """Dispatch (but don't fetch) the gathers for every device-level
+        auth-path sibling of ``indices``.  Returns (keys, device array of
+        shape (8, len(keys))) or (keys, None) when nothing is missing —
+        lets a caller concatenate gathers across MANY trees into one
+        host fetch (see fri._query_phase)."""
         wanted: List[tuple] = []
         per_level: List[List[int]] = []
         for lvl in range(len(self._device_levels)):
@@ -338,15 +341,27 @@ class DeviceMerkleTree:
             per_level.append(sibs)
             wanted.extend((lvl, s) for s in sibs)
         if not wanted:
-            return
+            return [], None
         gathered = [
             self._device_levels[lvl][:, jnp.asarray(sibs, dtype=jnp.int32)]
             for lvl, sibs in enumerate(per_level)
             if sibs
         ]
-        flat = np.asarray(jax.device_get(jnp.concatenate(gathered, axis=1)))
-        for col, (lvl, s) in enumerate(wanted):
-            self._sib_cache[(lvl, s)] = _digest_bytes(flat[:, col])
+        return wanted, jnp.concatenate(gathered, axis=1)
+
+    def absorb_siblings(self, keys, flat: np.ndarray) -> None:
+        """Fill the sibling cache from a fetched gather (columns of
+        ``flat`` correspond to ``keys`` in order)."""
+        for col, key in enumerate(keys):
+            self._sib_cache[key] = _digest_bytes(flat[:, col])
+
+    def prefetch(self, indices: Sequence[int]) -> None:
+        """Batch-gather every device-level sibling the auth paths of
+        ``indices`` will touch; one host fetch for the whole tree."""
+        keys, arr = self.gather_siblings_async(indices)
+        if not keys:
+            return
+        self.absorb_siblings(keys, np.asarray(jax.device_get(arr)))
 
     def _device_sibling(self, lvl: int, sib: int) -> bytes:
         key = (lvl, sib)

@@ -120,20 +120,34 @@ class DeviceCodeword:
             self._digits = self.core.to_digits(self.mont)
         return self._digits
 
+    def gather_values_async(self, indices):
+        """Dispatch (but don't fetch) the digit gather for ``indices``;
+        returns (idx_list, (4, K) device array) or ([], None) — lets the
+        FRI query phase combine value gathers across all rounds into one
+        host fetch."""
+        if self._digits is not None or self.mont.ndim != 2:
+            return [], None  # digits already on host (or four-step layout)
+        idx = sorted({int(i) for i in indices} - self._val_cache.keys())
+        if not idx:
+            return [], None
+        gathered = self.mont[:, jnp.asarray(idx, dtype=jnp.int32)]
+        return idx, _plain_digits(gathered)
+
+    def absorb_values(self, idx, digits_cols: np.ndarray) -> None:
+        """Fill the value cache from a fetched (4, K) digit gather."""
+        d = digits_cols.T
+        for row, i in enumerate(idx):
+            self._val_cache[i] = digits_value(d, row)
+
     def prefetch_values(self, indices) -> None:
         """Batch-gather a handful of leaf values (one small host fetch)
         without materializing the full digit matrix — the point of the
-        device-resident commitment path (the full fetch at 2^20 is 16 MB
+        device-resident commitment path (a full fetch at 2^20 is 16 MB
         over a ~10 MB/s tunnel)."""
-        if self._digits is not None or self.mont.ndim != 2:
-            return  # digits already on host (or four-step layout)
-        idx = sorted({int(i) for i in indices} - self._val_cache.keys())
+        idx, arr = self.gather_values_async(indices)
         if not idx:
             return
-        gathered = self.mont[:, jnp.asarray(idx, dtype=jnp.int32)]
-        d = np.asarray(jax.device_get(_plain_digits(gathered))).T
-        for row, i in enumerate(idx):
-            self._val_cache[i] = digits_value(d, row)
+        self.absorb_values(idx, np.asarray(jax.device_get(arr)))
 
     def value(self, i: int) -> int:
         i = int(i)
@@ -253,22 +267,23 @@ class DeviceProverCore:
 
     # -- RS extension ------------------------------------------------------
 
-    def _padded_plain(self, coeffs: Sequence[int]) -> np.ndarray:
+    def extend(self, coeffs: Sequence[int]) -> jnp.ndarray:
+        """Coefficients (plain ints, lowest-first) -> (8, n) Montgomery
+        codeword over the coset {offset * omega^i}.
+
+        Zero-padding to the domain happens ON the device: the host→device
+        link runs at tens of MB/s, so uploading a 2^18-coefficient
+        randomizer padded to a 2^20 domain would quadruple the transfer."""
         coeffs = list(coeffs)
         if len(coeffs) > self.n:
             raise ValueError("coefficient vector longer than the domain")
-        arr = pack(coeffs)
+        dev = jnp.asarray(pack(coeffs))
         if len(coeffs) < self.n:
-            arr = np.concatenate(
-                [arr, np.zeros((NUM_LIMBS, self.n - len(coeffs)), np.uint32)],
+            dev = jnp.concatenate(
+                [dev, jnp.zeros((NUM_LIMBS, self.n - len(coeffs)), jnp.uint32)],
                 axis=1,
             )
-        return arr
-
-    def extend(self, coeffs: Sequence[int]) -> jnp.ndarray:
-        """Coefficients (plain ints, lowest-first) -> (8, n) Montgomery
-        codeword over the coset {offset * omega^i}."""
-        return self._ext_jit(jnp.asarray(self._padded_plain(coeffs)))
+        return self._ext_jit(dev)
 
     def extend_mont(self, coeffs_mont: jnp.ndarray) -> jnp.ndarray:
         """Device-resident Montgomery coefficient array (8, m) -> (8, n)
