@@ -27,17 +27,25 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("STARK_TPU_XLA_BARRIERS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual devices time-multiplexed on 4 cores: a shard's pre-
+    # collective compute at 2^24 can exceed XLA:CPU's default 40 s
+    # rendezvous termination timeout (the process SIGABRTs) — an
+    # emulation artifact, not a property of the sharding design
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/stark_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# no persistent cache: XLA:CPU cache READS segfault nondeterministically
+# on this image (see tests/conftest.py)
 
 import numpy as np  # noqa: E402
 
@@ -138,6 +146,39 @@ def main():
     results["all_to_all_bytes_per_chip_2e24"] = big * 32 // 8
     print(f"2^24 tables built (R={core24.R}, C={core24.C}):",
           results["setup_2e24_s"], "s", flush=True)
+
+    # ---- full 2^24 sharded transform (--full24) ------------------------
+    # The north-star size: one complete sharded coset NTT, spot-checked
+    # against direct host evaluation p(offset * omega^k) at sampled
+    # points (a full 2^24 host NTT would dominate the runtime without
+    # adding evidence — every lane of the transform logic is already
+    # bit-exact-checked whole-array at 2^22 above).
+    if "--full24" in sys.argv:
+        rng24 = np.random.default_rng(5)
+        vals24 = rng24.integers(0, 1 << 62, big).tolist()
+        t0 = time.time()
+        cw24 = core24.extend_codeword(vals24)
+        jax.block_until_ready(cw24.mont)
+        results["sharded_coset_ntt_2e24_s"] = round(time.time() - t0, 1)
+        print("2^24 sharded coset NTT:",
+              results["sharded_coset_ntt_2e24_s"], "s (includes compile)",
+              flush=True)
+
+        omega24 = FieldElement.primitive_nth_root(big).value
+        coeff_mont = ho.to_mont(vals24)
+        checks = 0
+        for k in map(int, rng24.integers(0, big, 8)):
+            x = GENERATOR * pow(omega24, k, P) % P
+            prod = ho.mul(coeff_mont, _host_power_column(x, big))
+            while prod.shape[1] > 1:  # pairwise tree sum
+                half = prod.shape[1] // 2
+                prod = ho.add(prod[:, :half], prod[:, half:])
+            want = ho.from_mont(prod)[0]
+            got = cw24.value(k)
+            assert got == want, f"2^24 codeword mismatch at index {k}"
+            checks += 1
+        results["ntt_2e24_spot_checks_ok"] = checks
+        print(f"2^24 spot checks OK ({checks} points)", flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "results",
                        "scale_sharded.json")
