@@ -34,6 +34,14 @@ _lib.batch_blake2b_256.argtypes = [_u8p, _u64p, ctypes.c_uint64, _u8p]
 _lib.merkle_level.argtypes = [_u8p, ctypes.c_uint64, _u8p]
 _lib.merkle_leaves_u128.argtypes = [_u32p, ctypes.c_uint64, _u8p]
 _lib.merkle_tree_from_leaves.argtypes = [_u8p, ctypes.c_uint64, _u8p]
+try:
+    _lib.batch_shake256_ctr.argtypes = [
+        _u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint64, _u8p,
+    ]
+    _has_shake = True
+except AttributeError:  # stale .so built before keccak.c existed
+    _has_shake = False
 
 
 def _as_u8p(buf: np.ndarray):
@@ -73,6 +81,30 @@ def merkle_leaves_u128(digits: np.ndarray) -> bytes:
     n = digits.shape[0]
     out = np.empty(32 * n, dtype=np.uint8)
     _lib.merkle_leaves_u128(digits.ctypes.data_as(_u32p), n, _as_u8p(out))
+    return out.tobytes()
+
+
+def batch_shake256_ctr(
+    seed: bytes, counter_start: int, count: int, size: int
+) -> bytes:
+    """Concatenated SHAKE256(seed || le64(counter_start + i)) digests of
+    ``size`` bytes each, i < count — the byte stream of ``count``
+    sequential :class:`stark_tpu.rng.DeterministicRandom` draws.
+    Raises ValueError for shapes outside the C kernel's single-block
+    case (the caller falls back to hashlib)."""
+    if not _has_shake:
+        raise ValueError("libstark_hash.so lacks batch_shake256_ctr")
+    if len(seed) + 8 > 135 or size > 136:
+        raise ValueError("seed/output too long for the single-block kernel")
+    s = (
+        np.frombuffer(seed, dtype=np.uint8)
+        if seed
+        else np.zeros(1, dtype=np.uint8)
+    )
+    out = np.empty(count * size, dtype=np.uint8)
+    _lib.batch_shake256_ctr(
+        _as_u8p(s), len(seed), counter_start, count, size, _as_u8p(out)
+    )
     return out.tobytes()
 
 

@@ -16,13 +16,25 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import Callable
+from typing import Callable, List
 
 RandomBytes = Callable[[int], bytes]
 
 
 def os_random_bytes(n: int) -> bytes:
     return os.urandom(n)
+
+
+def draw_many(rng: RandomBytes, count: int, size: int) -> List[bytes]:
+    """``count`` sequential draws of ``size`` bytes from ``rng`` — exactly
+    ``[rng(size) for _ in range(count)]``, but routed through the rng's
+    batched ``read_many`` when it has one (the randomizer polynomial of a
+    large proof draws ~2^17 chunks; per-call hashlib overhead dominates
+    otherwise)."""
+    many = getattr(rng, "read_many", None)
+    if many is not None:
+        return many(count, size)
+    return [rng(size) for _ in range(count)]
 
 
 class DeterministicRandom:
@@ -42,6 +54,18 @@ class DeterministicRandom:
         h.update(self._counter.to_bytes(8, "little"))
         self._counter += 1
         return h.digest(n)
+
+    def read_many(self, count: int, size: int) -> List[bytes]:
+        """Byte-identical to ``count`` sequential calls; batched through
+        the native keccak kernel when available (native/keccak.c)."""
+        try:
+            from .native.hashing_native import batch_shake256_ctr
+
+            raw = batch_shake256_ctr(self._seed, self._counter, count, size)
+        except (ImportError, ValueError):
+            return [self(size) for _ in range(count)]
+        self._counter += count
+        return [raw[i * size : (i + 1) * size] for i in range(count)]
 
 
 class RecordedRandom:
