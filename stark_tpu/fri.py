@@ -157,6 +157,13 @@ class Fri:
         floor = getattr(self.backend, "min_device_size", 256)
         if self.backend is not None and half >= floor:
             return self.backend.fri_fold(codeword, alpha, offset, omega)
+        return self._fold_host(codeword, alpha, offset, omega)
+
+    @staticmethod
+    def _fold_host(
+        codeword: List[int], alpha: int, offset: int, omega: int
+    ) -> List[int]:
+        half = len(codeword) // 2
         inv = _inverse_table(offset, omega, half)
         two_inv = pow(2, -1, P)
         out = [0] * half
@@ -349,15 +356,21 @@ class Fri:
 
     def _prove_device(self, dcw, proof_stream: ProofStream) -> List[int]:
         """FRI proof from a device-resident codeword: the fold cascade runs
-        on the TPU; each round crosses to the host once, as the digit
-        matrix that feeds the native Merkle hasher.  Transcripts are
-        byte-identical to :meth:`prove` on the gathered codeword."""
+        on the TPU while codewords are large; each such round crosses to
+        the host once (root + tail of the device-built Merkle tree).  Once
+        the codeword shrinks below the device-tree threshold the remainder
+        of the cascade runs on the host from ONE fetch — the tail rounds
+        are tiny, and each extra device round would cost a full tunnel
+        round trip (~30 ms here) for microseconds of compute.  Transcripts
+        are byte-identical to :meth:`prove` on the gathered codeword."""
+        from .ops.device_merkle import DEVICE_TREE_MIN
+
         core = dcw.core
         omega = self.omega.value % P
         offset = self.offset.value % P
         rounds = self.num_rounds()
 
-        views: List = []  # per-round DigitsView (list-of-ints facade)
+        views: List = []  # per-round DigitsView / host list
         trees: List[MerkleTree] = []
         cur = dcw
         for r in range(rounds):
@@ -366,7 +379,14 @@ class Fri:
                 raise ValueError(
                     "error in commit: omega does not have the right order"
                 )
-            tree = core.merkle_tree(cur)
+            on_device = hasattr(cur, "mont")
+            if on_device and n < DEVICE_TREE_MIN:
+                cur = cur.to_list()  # one fetch; host from here on
+                on_device = False
+            if on_device:
+                tree = core.merkle_tree(cur)
+            else:
+                tree = MerkleTree.from_codeword(cur)
             trees.append(tree)
             proof_stream.push(tree.root.hex())
 
@@ -374,14 +394,17 @@ class Fri:
                 break
 
             alpha = FieldElement.sample(proof_stream.prover_fiat_shamir(32)).value
-            views.append(cur.view())
-            cur = core.fold(cur, alpha, offset, omega)
+            views.append(cur.view() if on_device else cur)
+            if on_device:
+                cur = core.fold(cur, alpha, offset, omega)
+            else:
+                cur = self._fold_host(cur, alpha, offset, omega)
             omega = omega * omega % P
             offset = offset * offset % P
 
-        last_view = cur.view()
-        proof_stream.push(json_field_element_vec(list(last_view)))
-        views.append(last_view)
+        last = cur.view() if hasattr(cur, "mont") else cur
+        proof_stream.push(json_field_element_vec(list(last)))
+        views.append(last)
         return self._query_phase(views, trees, proof_stream)
 
     # -- verifier ---------------------------------------------------------

@@ -34,6 +34,7 @@ tests/test_device_merkle.py against hashlib on CPU.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Dict, List, Sequence
 
@@ -145,7 +146,7 @@ _SIGMA_FULL = np.asarray(
 )
 
 
-def blake2b256_single_block(m, t):
+def blake2b256_single_block(m, t, unroll=None):
     """Vectorized single-final-block Blake2b-256.
 
     ``m``: 16 message words, each a (lo, hi) pair of (w,) uint32 arrays
@@ -153,14 +154,26 @@ def blake2b256_single_block(m, t):
     array or a python int.  Returns 8 (w,) uint32 arrays: the 32-byte
     digests as interleaved lo/hi words of h[0..3] (little-endian bytes).
 
-    The 12 rounds run as a ``lax.fori_loop`` whose body is ONE round
-    (message words gathered through the SIGMA table): a fully unrolled
-    compress makes XLA:CPU's compile time explode superlinearly past
-    ~2 rounds (measured: 1 round 0.3 s, 2 rounds 1.1 s, 4 rounds
-    minutes+ — optimization barriers do NOT cap it), and the loop also
-    keeps the whole-tree jit small for the TPU.
+    Two round schedules:
+
+    * ``unroll=True`` (default on accelerators): the 12 rounds are
+      unrolled at trace time with the SIGMA permutation applied
+      STATICALLY — no (16, 2, w) message materialization, no per-round
+      gather (12 gathers of a 128 MB array at w = 2^20), and ``_ZERO``
+      message words skip their adds entirely (12 of 16 leaf-message
+      words are zero).
+    * ``unroll=False`` (default on CPU): a ``lax.fori_loop`` whose body
+      is ONE round, message words gathered through the SIGMA table — a
+      fully unrolled compress makes XLA:CPU's compile time explode
+      superlinearly past ~2 rounds (measured: 1 round 0.3 s, 2 rounds
+      1.1 s, 4 rounds minutes+ — optimization barriers do NOT cap it).
     """
-    # materialize message words (zeros included) as one (16, 2, w) array
+    if unroll is None:
+        env = os.environ.get("STARK_TPU_MERKLE_UNROLL")
+        if env is not None:
+            unroll = env != "0"
+        else:
+            unroll = jax.default_backend() != "cpu"
     shape = None
     for word in m:
         if word is not _ZERO:
@@ -168,56 +181,76 @@ def blake2b256_single_block(m, t):
                 jnp.shape(word[0]), jnp.shape(word[1])
             )
             shape = cand if shape is None else jnp.broadcast_shapes(shape, cand)
-    zero = jnp.zeros(shape, dtype=jnp.uint32)
-    rows = []
-    for word in m:
-        if word is _ZERO:
-            rows.append(jnp.stack([zero, zero]))
-        else:
-            rows.append(
-                jnp.stack([
-                    jnp.broadcast_to(jnp.asarray(word[0], jnp.uint32), shape),
-                    jnp.broadcast_to(jnp.asarray(word[1], jnp.uint32), shape),
-                ])
-            )
-    m_arr = jnp.stack(rows)  # (16, 2, w)
-    sigma = jnp.asarray(_SIGMA_FULL)
 
     h = [_c(_H0)] + [_c(w) for w in _IV[1:]]
     v = list(h) + [_c(w) for w in _IV]
     tlo = t if not isinstance(t, int) else np.uint32(t)
     v[12] = (v[12][0] ^ tlo, v[12][1])
     v[14] = (~v[14][0], ~v[14][1])  # final-block flag f0 = ~0
-    v_arr = jnp.stack([
-        jnp.stack([
-            jnp.broadcast_to(jnp.asarray(p[0], jnp.uint32), shape),
-            jnp.broadcast_to(jnp.asarray(p[1], jnp.uint32), shape),
-        ])
-        for p in v
-    ])  # (16, 2, w)
 
-    def round_body(r, acc):
-        sel = m_arr[sigma[r]]  # (16, 2, w) — this round's message order
-        vv = [(acc[i, 0], acc[i, 1]) for i in range(16)]
-        mm = [(sel[j, 0], sel[j, 1]) for j in range(16)]
-        _g(vv, 0, 4, 8, 12, mm[0], mm[1])
-        _g(vv, 1, 5, 9, 13, mm[2], mm[3])
-        _g(vv, 2, 6, 10, 14, mm[4], mm[5])
-        _g(vv, 3, 7, 11, 15, mm[6], mm[7])
-        _g(vv, 0, 5, 10, 15, mm[8], mm[9])
-        _g(vv, 1, 6, 11, 12, mm[10], mm[11])
-        _g(vv, 2, 7, 8, 13, mm[12], mm[13])
-        _g(vv, 3, 4, 9, 14, mm[14], mm[15])
-        return jnp.stack([jnp.stack([p[0], p[1]]) for p in vv])
+    if unroll:
+        vv = list(v)
+        for r in range(12):
+            sig = _SIGMA_FULL[r]
+            mm = [m[sig[j]] for j in range(16)]
+            _g(vv, 0, 4, 8, 12, mm[0], mm[1])
+            _g(vv, 1, 5, 9, 13, mm[2], mm[3])
+            _g(vv, 2, 6, 10, 14, mm[4], mm[5])
+            _g(vv, 3, 7, 11, 15, mm[6], mm[7])
+            _g(vv, 0, 5, 10, 15, mm[8], mm[9])
+            _g(vv, 1, 6, 11, 12, mm[10], mm[11])
+            _g(vv, 2, 7, 8, 13, mm[12], mm[13])
+            _g(vv, 3, 4, 9, 14, mm[14], mm[15])
+        final = [(vv[i][0], vv[i][1]) for i in range(16)]
+    else:
+        # materialize message words (zeros included) as one (16, 2, w)
+        # array the loop body can gather from
+        zero = jnp.zeros(shape, dtype=jnp.uint32)
+        rows = []
+        for word in m:
+            if word is _ZERO:
+                rows.append(jnp.stack([zero, zero]))
+            else:
+                rows.append(
+                    jnp.stack([
+                        jnp.broadcast_to(
+                            jnp.asarray(word[0], jnp.uint32), shape
+                        ),
+                        jnp.broadcast_to(
+                            jnp.asarray(word[1], jnp.uint32), shape
+                        ),
+                    ])
+                )
+        m_arr = jnp.stack(rows)  # (16, 2, w)
+        sigma = jnp.asarray(_SIGMA_FULL)
+        v_arr = jnp.stack([
+            jnp.stack([
+                jnp.broadcast_to(jnp.asarray(p[0], jnp.uint32), shape),
+                jnp.broadcast_to(jnp.asarray(p[1], jnp.uint32), shape),
+            ])
+            for p in v
+        ])  # (16, 2, w)
 
-    v_arr = jax.lax.fori_loop(0, 12, round_body, v_arr)
+        def round_body(r, acc):
+            sel = m_arr[sigma[r]]  # (16, 2, w) — this round's message order
+            vv = [(acc[i, 0], acc[i, 1]) for i in range(16)]
+            mm = [(sel[j, 0], sel[j, 1]) for j in range(16)]
+            _g(vv, 0, 4, 8, 12, mm[0], mm[1])
+            _g(vv, 1, 5, 9, 13, mm[2], mm[3])
+            _g(vv, 2, 6, 10, 14, mm[4], mm[5])
+            _g(vv, 3, 7, 11, 15, mm[6], mm[7])
+            _g(vv, 0, 5, 10, 15, mm[8], mm[9])
+            _g(vv, 1, 6, 11, 12, mm[10], mm[11])
+            _g(vv, 2, 7, 8, 13, mm[12], mm[13])
+            _g(vv, 3, 4, 9, 14, mm[14], mm[15])
+            return jnp.stack([jnp.stack([p[0], p[1]]) for p in vv])
+
+        v_arr = jax.lax.fori_loop(0, 12, round_body, v_arr)
+        final = [(v_arr[i, 0], v_arr[i, 1]) for i in range(16)]
 
     out = []
     for i in range(4):
-        hi_word = _xor(
-            _xor(h[i], (v_arr[i, 0], v_arr[i, 1])),
-            (v_arr[i + 8, 0], v_arr[i + 8, 1]),
-        )
+        hi_word = _xor(_xor(h[i], final[i]), final[i + 8])
         out.append(jnp.broadcast_to(hi_word[0], shape))
         out.append(jnp.broadcast_to(hi_word[1], shape))
     return out
@@ -299,8 +332,8 @@ class DeviceMerkleTree:
     device-level sibling)."""
 
     __slots__ = (
-        "num_leaves", "_device_levels", "_host_levels", "_log_n",
-        "_log_tail_gap", "_sib_cache",
+        "num_leaves", "_device_levels", "_host_levels", "_tail_arr",
+        "_log_n", "_log_tail_gap", "_sib_cache",
     )
 
     def __init__(self, mont: jnp.ndarray) -> None:
@@ -312,20 +345,31 @@ class DeviceMerkleTree:
         arrays = _tree_fn(n)(mont)
         self.num_leaves = n
         # widths n .. 2*TAIL stay device-resident; the TAIL-wide level is
-        # fetched (32 KB) and the top finishes on the host
+        # fetched (32 KB) and the top finishes on the host — LAZILY, so
+        # constructing several trees back-to-back queues all their hash
+        # kernels before the first host fetch blocks (the prover
+        # dispatches the boundary-quotient and randomizer trees together
+        # and only then reads the roots in transcript order)
         self._device_levels = list(arrays[:-1])
-        tail = _level_bytes(np.asarray(jax.device_get(arrays[-1])))
-        host_levels = [tail]
-        while len(host_levels[-1]) > 32:
-            host_levels.append(merkle_level(host_levels[-1]))
-        self._host_levels = host_levels
+        self._tail_arr = arrays[-1]
+        self._host_levels = None
         self._log_n = n.bit_length() - 1
         self._log_tail_gap = self._log_n - TAIL_WIDTH.bit_length() + 1
         self._sib_cache: Dict[tuple, bytes] = {}
 
+    def _finish_top(self) -> List[bytes]:
+        if self._host_levels is None:
+            tail = _level_bytes(np.asarray(jax.device_get(self._tail_arr)))
+            self._tail_arr = None
+            host_levels = [tail]
+            while len(host_levels[-1]) > 32:
+                host_levels.append(merkle_level(host_levels[-1]))
+            self._host_levels = host_levels
+        return self._host_levels
+
     @property
     def root(self) -> bytes:
-        return self._host_levels[-1]
+        return self._finish_top()[-1]
 
     def gather_siblings_async(self, indices: Sequence[int]):
         """Dispatch (but don't fetch) the gathers for every device-level
@@ -381,6 +425,6 @@ class DeviceMerkleTree:
             if lvl < len(self._device_levels):
                 path.append(self._device_sibling(lvl, sib))
             else:
-                host = self._host_levels[lvl - self._log_tail_gap]
+                host = self._finish_top()[lvl - self._log_tail_gap]
                 path.append(host[32 * sib : 32 * sib + 32])
         return path

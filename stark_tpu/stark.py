@@ -778,24 +778,33 @@ class Stark:
                     core.extend_codeword(bq.coeffs)
                     for bq in boundary_quotients
                 ]
-        with prof.region("bq_merkle"):
-            boundary_quotient_trees = []
-            for cw in boundary_quotient_codewords:
-                tree = core.merkle_tree(cw)
-                boundary_quotient_trees.append(tree)
-                proof_stream.push(tree.root.hex())
-
+        # dispatch EVERY commitment's device work (bq trees, randomizer
+        # extend + tree) before the first root fetch blocks: device trees
+        # are lazy (ops/device_merkle.py), so the hash kernels all queue
+        # while the host is busy drawing the randomizer coefficients.
+        # The rng draw order (rows, then poly) and the transcript push
+        # order (bq roots, then randomizer root) both stay identical.
         max_degree = self.combination_degree(transition_constraints)
+        with prof.region("bq_merkle_dispatch"):
+            boundary_quotient_trees = [
+                core.merkle_tree(cw) for cw in boundary_quotient_codewords
+            ]
         with prof.region("randomizer_poly"):
             # same rng byte stream as FieldElement.sample(self.rng(17))
-            # per coefficient, parsed without per-element object overhead
+            # per coefficient: draws batched through the native keccak
+            # kernel, parsed without per-element object overhead
+            from .rng import draw_many
+
             randomizer_coeffs = [
-                int.from_bytes(self.rng(17), "big") % P
-                for _ in range(max_degree + 1)
+                int.from_bytes(chunk, "big") % P
+                for chunk in draw_many(self.rng, max_degree + 1, 17)
             ]
             randomizer_codeword = core.extend_codeword(randomizer_coeffs)
-        with prof.region("randomizer_merkle"):
             randomizer_tree = core.merkle_tree(randomizer_codeword)
+        with prof.region("bq_merkle"):
+            for tree in boundary_quotient_trees:
+                proof_stream.push(tree.root.hex())
+        with prof.region("randomizer_merkle"):
             proof_stream.push(randomizer_tree.root.hex())
 
         fri_budget = self.fri_domain_length // self.expansion_factor - 1
