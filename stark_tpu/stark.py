@@ -935,10 +935,16 @@ class Stark:
             boundary_quotient_trees.append(tree)
             proof_stream.push(tree.root.hex())
 
-        # randomizer polynomial (ZK; reference: stark.rs:343-360)
+        # randomizer polynomial (ZK; reference: stark.rs:343-360); draws
+        # batched (byte-identical to sequential rng(17) calls)
+        from .rng import draw_many
+
         max_degree = self.combination_degree(transition_constraints)
         randomizer_poly = Polynomial(
-            [FieldElement.sample(self.rng(17)) for _ in range(max_degree + 1)]
+            [
+                FieldElement.sample(chunk)
+                for chunk in draw_many(self.rng, max_degree + 1, 17)
+            ]
         )
         randomizer_codeword = self._rs_extend(randomizer_poly, fri_domain)
         randomizer_tree = MerkleTree.from_codeword(randomizer_codeword)
