@@ -131,9 +131,17 @@ def geometric_zeroifier(start: int, q: int, n: int) -> List[int]:
     spow = [1] * (n + 1)  # start^j
     for j in range(1, n + 1):
         spow[j] = spow[j - 1] * start % P
+    # q^{T(m)} built incrementally (T(m) = m(m-1)/2, so T(m) - T(m-1)
+    # = m-1): two multiplies per entry instead of one ~log(n^2)-squaring
+    # pow per entry
+    qtri = [1] * (n + 1)
+    qp = 1  # q^{m-1}
+    for m in range(1, n + 1):
+        qtri[m] = qtri[m - 1] * qp % P
+        qp = qp * q % P
     for k in range(n + 1):
         cq = fact[n] * inv_fact[k] % P * inv_fact[n - k] % P
-        coeff = pow(q, _tri(n - k), P) * cq % P
+        coeff = qtri[n - k] * cq % P
         if (n - k) & 1:
             coeff = (-coeff) % P
         z[k] = coeff * spow[n - k] % P

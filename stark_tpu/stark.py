@@ -170,9 +170,13 @@ class Stark:
 
     def transition_zeroifier(self) -> Polynomial:
         """prod (x - omicron^i) for i < original_trace_length - 1
-        (reference: stark.rs:134-137)."""
-        domain = self.omicron_domain[: self.original_trace_length - 1]
-        return Polynomial.zeroifier_domain(domain)
+        (reference: stark.rs:134-137).  Trace-independent — cached per
+        instance (it dominated repeat verifies at large trace lengths)."""
+        tz = getattr(self, "_tz_poly_cache", None)
+        if tz is None:
+            domain = self.omicron_domain[: self.original_trace_length - 1]
+            tz = self._tz_poly_cache = Polynomial.zeroifier_domain(domain)
+        return tz
 
     def transition_degree_bounds(
         self, transition_constraints: Sequence[MPolynomial]
