@@ -267,20 +267,29 @@ class DeviceProverCore:
 
     # -- RS extension ------------------------------------------------------
 
-    def extend(self, coeffs: Sequence[int]) -> jnp.ndarray:
-        """Coefficients (plain ints, lowest-first) -> (8, n) Montgomery
-        codeword over the coset {offset * omega^i}.
+    def extend(self, coeffs) -> jnp.ndarray:
+        """Coefficients (plain ints lowest-first, or an already-packed
+        (8, m) uint32 limb array) -> (8, n) Montgomery codeword over the
+        coset {offset * omega^i}.
 
         Zero-padding to the domain happens ON the device: the host→device
         link runs at tens of MB/s, so uploading a 2^18-coefficient
         randomizer padded to a 2^20 domain would quadruple the transfer."""
-        coeffs = list(coeffs)
-        if len(coeffs) > self.n:
+        if isinstance(coeffs, np.ndarray):
+            packed = coeffs
+        else:
+            packed = pack(list(coeffs))
+        if packed.shape[1] > self.n:
             raise ValueError("coefficient vector longer than the domain")
-        dev = jnp.asarray(pack(coeffs))
-        if len(coeffs) < self.n:
+        dev = jnp.asarray(packed)
+        if packed.shape[1] < self.n:
             dev = jnp.concatenate(
-                [dev, jnp.zeros((NUM_LIMBS, self.n - len(coeffs)), jnp.uint32)],
+                [
+                    dev,
+                    jnp.zeros(
+                        (NUM_LIMBS, self.n - packed.shape[1]), jnp.uint32
+                    ),
+                ],
                 axis=1,
             )
         return self._ext_jit(dev)

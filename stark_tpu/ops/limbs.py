@@ -48,6 +48,38 @@ def unpack(arr) -> List[int]:
     ]
 
 
+def pack_be17(raw: bytes) -> np.ndarray:
+    """Concatenated 17-byte big-endian chunks -> (8, N) uint32 limb array
+    of ``int.from_bytes(chunk, "big") % P`` per chunk, fully vectorized
+    (the randomizer polynomial draws ~2^17 such chunks per large proof;
+    the Python-int parse/reduce/pack loops cost ~1 us per element).
+
+    Reduction: v = b0 * 2^128 + v0 with b0 the leading byte.  v0 < 2^128
+    < 2p needs one conditional subtraction, and b0 * 2^128 mod p is the
+    Montgomery form of b0 (one vectorized mont-mul by R^2); their mod-p
+    sum is the canonical residue.  Bit-identical to the int path (pinned
+    by tests)."""
+    from .. import hostops as ho
+
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 17)
+    n = a.shape[0]
+    b0 = a[:, 0].astype(np.uint64)
+    le = np.ascontiguousarray(a[:, 1:][:, ::-1])  # v0, little-endian bytes
+    d = le.view("<u4")  # (N, 4) 32-bit digits
+    v0 = np.ascontiguousarray(d.T).astype(np.uint64)  # (4, N)
+    t = np.concatenate([v0, np.zeros((1, n), np.uint64)], axis=0)
+    v0c = ho._canonicalize(t)
+    b0_arr = np.zeros((4, n), np.uint64)
+    b0_arr[0] = b0
+    r2 = ho.pack32([ho._R2_32])
+    term = ho.mul(b0_arr, np.broadcast_to(r2, (4, n)))
+    out32 = ho.add(v0c, term)  # canonical (4, N) 32-bit digit rows
+    out = np.empty((8, n), np.uint32)
+    out[0::2] = (out32 & np.uint64(0xFFFF)).astype(np.uint32)
+    out[1::2] = (out32 >> np.uint64(16)).astype(np.uint32)
+    return out
+
+
 def pack_scalar(value: int) -> np.ndarray:
     """One residue -> uint32 (8, 1)."""
     return pack([value])

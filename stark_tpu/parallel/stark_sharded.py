@@ -117,14 +117,16 @@ class ShardedProverCore:
 
     # -- RS extension ------------------------------------------------------
 
-    def extend(self, coeffs: Sequence[int]) -> jnp.ndarray:
-        coeffs = list(coeffs)
-        if len(coeffs) > self.n:
+    def extend(self, coeffs) -> jnp.ndarray:
+        if isinstance(coeffs, np.ndarray):
+            arr = coeffs
+        else:
+            arr = pack(list(coeffs))
+        if arr.shape[1] > self.n:
             raise ValueError("coefficient vector longer than the domain")
-        arr = pack(coeffs)
-        if len(coeffs) < self.n:
+        if arr.shape[1] < self.n:
             arr = np.concatenate(
-                [arr, np.zeros((NUM_LIMBS, self.n - len(coeffs)), np.uint32)],
+                [arr, np.zeros((NUM_LIMBS, self.n - arr.shape[1]), np.uint32)],
                 axis=1,
             )
         mat = arr.reshape(NUM_LIMBS, self.R, self.C)

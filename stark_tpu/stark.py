@@ -796,14 +796,15 @@ class Stark:
         with prof.region("randomizer_poly"):
             # same rng byte stream as FieldElement.sample(self.rng(17))
             # per coefficient: draws batched through the native keccak
-            # kernel, parsed without per-element object overhead
+            # kernel, chunk bytes reduced mod p and packed to device
+            # limbs without any Python-int loop (ops/limbs.pack_be17)
+            from .ops.limbs import pack_be17
             from .rng import draw_many
 
-            randomizer_coeffs = [
-                int.from_bytes(chunk, "big") % P
-                for chunk in draw_many(self.rng, max_degree + 1, 17)
-            ]
-            randomizer_codeword = core.extend_codeword(randomizer_coeffs)
+            chunks = draw_many(self.rng, max_degree + 1, 17)
+            randomizer_codeword = core.extend_codeword(
+                pack_be17(b"".join(chunks))
+            )
             randomizer_tree = core.merkle_tree(randomizer_codeword)
         with prof.region("bq_merkle"):
             for tree in boundary_quotient_trees:

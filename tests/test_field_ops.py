@@ -114,3 +114,31 @@ def test_batch_shapes():
     assert unpack(prod) == [
         x * y % P for x, y in zip(vals, list(reversed(vals)))
     ]
+
+
+def test_pack_be17_matches_int_path():
+    """Vectorized 17-byte-chunk reduction must be bit-identical to the
+    int parse/reduce/pack loop (it feeds the randomizer codeword, whose
+    Merkle root is in the transcript)."""
+    import numpy as np
+
+    from stark_tpu.ops.limbs import pack, pack_be17
+    from stark_tpu.params import P
+
+    rng = np.random.default_rng(3)
+    chunks = [
+        rng.integers(0, 256, 17, dtype=np.uint8).tobytes() for _ in range(257)
+    ]
+    chunks += [
+        b"\x00" * 17,
+        b"\xff" * 17,
+        b"\x01" + b"\x00" * 16,
+        (P - 1).to_bytes(17, "big"),
+        P.to_bytes(17, "big"),
+        (P + 1).to_bytes(17, "big"),
+        (2 * P).to_bytes(17, "big"),
+        ((1 << 136) - 1).to_bytes(17, "big"),
+    ]
+    got = pack_be17(b"".join(chunks))
+    want = pack([int.from_bytes(c, "big") % P for c in chunks])
+    assert np.array_equal(got, want)
