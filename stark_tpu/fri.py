@@ -104,6 +104,42 @@ def _inverse_table(offset: int, omega: int, half: int) -> List[int]:
     return out
 
 
+def _fold_digits(digits, alpha: int, offset: int, omega: int):
+    """One fold round over an (n, 4) uint32 plain-form digit matrix,
+    vectorized in :mod:`stark_tpu.hostops`; returns the folded (n/2, 4)
+    matrix.  Bit-identical to :meth:`Fri._fold_host` on the same values
+    (same mod-p algebra) — this is the device prover's host-tail fold,
+    which never materializes Python ints for whole codewords."""
+    import numpy as np
+
+    from . import hostops as ho
+
+    n = digits.shape[0]
+    half = n // 2
+    plain = np.ascontiguousarray(digits.T).astype(np.uint64)  # (4, n)
+    r2 = ho.pack32([ho._R2_32])
+    c1 = ho.mul(plain[:, :half], r2)  # -> Montgomery form
+    c2 = ho.mul(plain[:, half:], r2)
+    # Montgomery table of (offset * omega^i)^{-1} = offset^{-1} *
+    # (omega^{-1})^i, built by doubling (log(half) vector multiplies)
+    winv = pow(omega, -1, P)
+    col = ho.to_mont([pow(offset, -1, P)])
+    k = 1
+    while k < half:
+        step = ho.to_mont([pow(winv, k, P)])
+        col = np.concatenate([col, ho.mul(col, step)], axis=1)
+        k *= 2
+    col = col[:, :half]
+    aim = ho.mul(ho.to_mont([alpha % P]), col)  # mont(alpha * inv_i)
+    onem = ho.to_mont([1])
+    t1 = ho.add(np.broadcast_to(onem, aim.shape), aim)
+    t2 = ho.sub(np.broadcast_to(onem, aim.shape), aim)
+    s = ho.add(ho.mul(t1, c1), ho.mul(t2, c2))
+    out_m = ho.mul(s, ho.to_mont([pow(2, -1, P)]))
+    out_plain = ho.mul(out_m, ho.pack32([1]))  # de-Montgomery
+    return np.ascontiguousarray(out_plain.T).astype(np.uint32)
+
+
 class Fri:
     """FRI prover/verifier over the coset {offset * omega^i}."""
 
@@ -364,13 +400,14 @@ class Fri:
         round trip (~30 ms here) for microseconds of compute.  Transcripts
         are byte-identical to :meth:`prove` on the gathered codeword."""
         from .ops.device_merkle import DEVICE_TREE_MIN
+        from .ops.device_prover import DigitsView
 
         core = dcw.core
         omega = self.omega.value % P
         offset = self.offset.value % P
         rounds = self.num_rounds()
 
-        views: List = []  # per-round DigitsView / host list
+        views: List = []  # per-round DeviceCodewordView / DigitsView
         trees: List[MerkleTree] = []
         cur = dcw
         for r in range(rounds):
@@ -381,10 +418,14 @@ class Fri:
                 )
             on_device = hasattr(cur, "mont")
             if on_device and n < DEVICE_TREE_MIN:
-                cur = cur.to_list()  # one fetch; host from here on
+                # one fetch; the tail stays a host digit matrix (numpy
+                # folds + native-C trees, no Python-int codewords)
+                cur = DigitsView(cur.digits)
                 on_device = False
             if on_device:
                 tree = core.merkle_tree(cur)
+            elif isinstance(cur, DigitsView):
+                tree = MerkleTree.from_digits(cur.digits)
             else:
                 tree = MerkleTree.from_codeword(cur)
             trees.append(tree)
@@ -397,6 +438,8 @@ class Fri:
             views.append(cur.view() if on_device else cur)
             if on_device:
                 cur = core.fold(cur, alpha, offset, omega)
+            elif isinstance(cur, DigitsView):
+                cur = DigitsView(_fold_digits(cur.digits, alpha, offset, omega))
             else:
                 cur = self._fold_host(cur, alpha, offset, omega)
             omega = omega * omega % P

@@ -124,3 +124,34 @@ def test_fri_rejects_too_few_rounds():
     omega = FieldElement.primitive_nth_root(8)
     with pytest.raises(ValueError):
         Fri(FieldElement.generator(), omega, 8, 8, 4)
+
+
+def test_fold_digits_matches_fold_host():
+    """The device prover's host-tail fold (vectorized digit matrices,
+    stark_tpu.fri._fold_digits) is bit-identical to the Python-int
+    reference fold across several rounds."""
+    import numpy as np
+
+    from stark_tpu.fri import _fold_digits
+
+    rng = np.random.default_rng(11)
+    n = 128
+    codeword = [int.from_bytes(rng.bytes(16), "little") % P for _ in range(n)]
+    digits = np.zeros((n, 4), dtype=np.uint32)
+    for i, v in enumerate(codeword):
+        for j in range(4):
+            digits[i, j] = (v >> (32 * j)) & 0xFFFFFFFF
+
+    offset = FieldElement.generator().value
+    omega = FieldElement.primitive_nth_root(n).value
+    for r in range(3):
+        alpha = int.from_bytes(rng.bytes(16), "little") % P
+        codeword = Fri._fold_host(codeword, alpha, offset, omega)
+        digits = _fold_digits(digits, alpha, offset, omega)
+        got = [
+            int(d[0]) | int(d[1]) << 32 | int(d[2]) << 64 | int(d[3]) << 96
+            for d in digits
+        ]
+        assert got == codeword, f"digit fold diverged at round {r}"
+        omega = omega * omega % P
+        offset = offset * offset % P
