@@ -25,6 +25,30 @@ def os_random_bytes(n: int) -> bytes:
     return os.urandom(n)
 
 
+def _os_read_many(count: int, size: int) -> List[bytes]:
+    """One bulk ``os.urandom`` read sliced into ``count`` chunks.  For OS
+    entropy this is distributionally identical to ``count`` separate
+    reads (no stream/counter semantics to preserve), and it removes ~1M
+    syscall round-trips from a large proof's randomizer sampling."""
+    raw = os.urandom(count * size)
+    return [raw[i * size : (i + 1) * size] for i in range(count)]
+
+
+os_random_bytes.read_many = _os_read_many
+os_random_bytes.read_concat = lambda count, size: os.urandom(count * size)
+
+
+def draw_concat(rng: RandomBytes, count: int, size: int) -> bytes:
+    """The concatenation of ``count`` draws of ``size`` bytes — what the
+    randomizer-polynomial samplers actually consume.  Skips materializing
+    ``count`` small bytes objects when the rng produces a contiguous
+    buffer natively (DeterministicRandom's keccak batch, bulk urandom)."""
+    concat = getattr(rng, "read_concat", None)
+    if concat is not None:
+        return concat(count, size)
+    return b"".join(draw_many(rng, count, size))
+
+
 def draw_many(rng: RandomBytes, count: int, size: int) -> List[bytes]:
     """``count`` sequential draws of ``size`` bytes from ``rng`` — exactly
     ``[rng(size) for _ in range(count)]``, but routed through the rng's
@@ -58,14 +82,20 @@ class DeterministicRandom:
     def read_many(self, count: int, size: int) -> List[bytes]:
         """Byte-identical to ``count`` sequential calls; batched through
         the native keccak kernel when available (native/keccak.c)."""
+        raw = self.read_concat(count, size)
+        return [raw[i * size : (i + 1) * size] for i in range(count)]
+
+    def read_concat(self, count: int, size: int) -> bytes:
+        """Concatenation of ``count`` sequential ``size``-byte calls,
+        without slicing into per-draw objects (native keccak batch)."""
         try:
             from .native.hashing_native import batch_shake256_ctr
 
             raw = batch_shake256_ctr(self._seed, self._counter, count, size)
         except (ImportError, ValueError):
-            return [self(size) for _ in range(count)]
+            return b"".join(self(size) for _ in range(count))
         self._counter += count
-        return [raw[i * size : (i + 1) * size] for i in range(count)]
+        return raw
 
 
 class RecordedRandom:

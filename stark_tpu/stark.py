@@ -178,6 +178,52 @@ class Stark:
             tz = self._tz_poly_cache = Polynomial.zeroifier_domain(domain)
         return tz
 
+    def _tz_eval_batch(
+        self, xs: Sequence[FieldElement]
+    ) -> List[FieldElement]:
+        """Evaluate the transition zeroifier prod_{i<T-1}(x - omicron^i)
+        at many points, vectorized over the omicron power table in
+        numpy Montgomery columns (:mod:`stark_tpu.hostops`).
+
+        Bit-identical to ``self.transition_zeroifier().eval(x)`` (a
+        mod-p product is association-independent), but O(T) *vector*
+        lane-multiplies per point instead of O(T) Python-int Horner
+        steps — the dense walk dominated large-trace verifies.  Also
+        skips *constructing* the dense zeroifier polynomial, which a
+        verify-only caller would otherwise pay once per instance."""
+        m = self.original_trace_length - 1
+        if m <= 64 or not xs:
+            tz = self.transition_zeroifier()
+            return [tz.eval(x) for x in xs]
+
+        import numpy as np
+
+        from . import hostops as ho
+
+        pts = getattr(self, "_tz_points_mont", None)
+        if pts is None or pts.shape[1] != m:
+            pts = ho.to_mont([fe.value for fe in self.omicron_domain[:m]])
+            self._tz_points_mont = pts
+        npts = len(xs)
+        xm = ho.to_mont([fe.value for fe in xs])  # (4, npts)
+        fac = ho.sub(
+            np.repeat(xm, m, axis=1), np.tile(pts, npts)
+        )  # (4, npts*m): column p*m+i holds mont(x_p - omicron^i)
+        mpad = 1 << (m - 1).bit_length()
+        one = ho.to_mont([1])
+        buf = np.empty((4, npts, mpad), dtype=np.uint64)
+        buf[:, :, :m] = fac.reshape(4, npts, m)
+        buf[:, :, m:] = one[:, :, None]
+        w = mpad
+        while w > 1:  # log-depth pairwise product reduction
+            h = w // 2
+            a = np.ascontiguousarray(buf[:, :, :h].reshape(4, -1))
+            b = np.ascontiguousarray(buf[:, :, h:w].reshape(4, -1))
+            buf = ho.mul(a, b).reshape(4, npts, h)
+            w = h
+        out = ho.from_mont(np.ascontiguousarray(buf.reshape(4, npts)))
+        return [FieldElement(v) for v in out]
+
     def transition_degree_bounds(
         self, transition_constraints: Sequence[MPolynomial]
     ) -> List[int]:
@@ -799,11 +845,10 @@ class Stark:
             # kernel, chunk bytes reduced mod p and packed to device
             # limbs without any Python-int loop (ops/limbs.pack_be17)
             from .ops.limbs import pack_be17
-            from .rng import draw_many
+            from .rng import draw_concat
 
-            chunks = draw_many(self.rng, max_degree + 1, 17)
             randomizer_codeword = core.extend_codeword(
-                pack_be17(b"".join(chunks))
+                pack_be17(draw_concat(self.rng, max_degree + 1, 17))
             )
             randomizer_tree = core.merkle_tree(randomizer_codeword)
         with prof.region("bq_merkle"):
@@ -1107,17 +1152,22 @@ class Stark:
         # hoisted loop invariants (the reference recomputes these per index)
         zeroifiers = self.boundary_zeroifiers(boundary)
         interpolants = self.boundary_interpolants(boundary)
-        tz = self.transition_zeroifier()
         max_degree = self.combination_degree(transition_constraints)
         tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
         bq_bounds = self.boundary_quotient_degree_bounds(
             randomized_trace_length, boundary
         )
 
+        # batched transition-zeroifier evaluation at all query points
+        # (vectorized; the per-index dense Horner walk was the verifier's
+        # scaling hot spot at large trace lengths)
+        domain_points = [
+            self.generator * self.omega.pow(i) for i in indices
+        ]
+        tz_evals = self._tz_eval_batch(domain_points)
+
         for pos, current_index in enumerate(indices):
-            domain_current_index = (
-                self.generator * self.omega.pow(current_index)
-            )
+            domain_current_index = domain_points[pos]
             next_index = (
                 current_index + self.expansion_factor
             ) % self.fri.domain_length
@@ -1139,7 +1189,7 @@ class Stark:
             ]
 
             terms: List[FieldElement] = [randomizer[current_index]]
-            tz_eval = tz.eval(domain_current_index)
+            tz_eval = tz_evals[pos]
             tz_eval_inv = tz_eval.inverse()
             for s, tcv in enumerate(transition_constraints_values):
                 quotient = tcv * tz_eval_inv

@@ -124,3 +124,21 @@ def test_recorded_randomness_replays_proof():
     _, stark2, _, _, _ = _setup(rng=RecordedRandom(draws))
     proof2 = stark2.prove(trace, air, boundary)
     assert proof2 == proof
+
+
+def test_tz_eval_batch_matches_dense_horner():
+    """The verifier's batched transition-zeroifier evaluation (vectorized
+    numpy Montgomery columns) is bit-identical to Horner on the dense
+    zeroifier polynomial, on both the small-trace fallback and the
+    vectorized large-trace path."""
+    for trace_length in (28, 300):
+        stark = Stark(4, 2, 2, 2, trace_length)
+        tz = stark.transition_zeroifier()
+        xs = [
+            FieldElement.generator() * stark.omega.pow(i)
+            for i in (0, 3, 7, 123, 999)
+        ]
+        want = [tz.eval(x).value for x in xs]
+        got = [fe.value for fe in stark._tz_eval_batch(xs)]
+        assert got == want
+    assert Stark(4, 2, 2, 2, 28)._tz_eval_batch([]) == []

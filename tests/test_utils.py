@@ -87,3 +87,25 @@ def test_deterministic_rng_read_many_wide_output():
     b = DeterministicRandom(3)
     want = [a(200) for _ in range(4)]
     assert b.read_many(4, 200) == want
+
+
+def test_draw_concat_matches_sequential_draws():
+    """draw_concat returns the exact concatenation of sequential rng
+    calls for DeterministicRandom (counter semantics preserved), bulk
+    urandom for the OS rng, and a join fallback for plain callables."""
+    from stark_tpu.rng import DeterministicRandom, draw_concat, os_random_bytes
+
+    d1, d2 = DeterministicRandom(9), DeterministicRandom(9)
+    assert draw_concat(d1, 300, 17) == b"".join(d2(17) for _ in range(300))
+    assert d1._counter == d2._counter == 300
+
+    assert len(draw_concat(os_random_bytes, 64, 17)) == 64 * 17
+
+    calls = []
+
+    def fake(n):
+        calls.append(n)
+        return bytes(n)
+
+    assert draw_concat(fake, 3, 5) == bytes(15)
+    assert calls == [5, 5, 5]
