@@ -136,7 +136,8 @@ def _bench_fibonacci_large(log_steps=16):
     )
     a, b = FieldElement(1), FieldElement(1)
     assert model.stark._use_device_pipeline()
-    model.prove(a, b)  # warm-up: compile everything once
+    r0, p0 = model.prove(a, b)  # warm-up: compile everything once
+    model.verify(a, b, r0, p0)  # warm the verifier's point-table caches
     t0 = time.perf_counter()
     result, proof = model.prove(a, b)
     prove_s = time.perf_counter() - t0

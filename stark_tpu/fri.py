@@ -23,7 +23,10 @@ kernel.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
+
+import numpy as np
 
 from .field import FieldElement
 from .hashing import blake2b_512
@@ -317,12 +320,21 @@ class Fri:
             indices = a + b
 
         tree_jobs = []
+        tail_jobs = []
         for i, idxs in tr_idx.items():
             t = trees[i]
             if hasattr(t, "gather_siblings_async"):
                 keys, arr = t.gather_siblings_async(sorted(idxs))
                 if keys:
                     tree_jobs.append((t, keys, arr))
+            if hasattr(t, "tail_async"):
+                # trees from the fused cascade haven't fetched their 32 KB
+                # top-level tail yet (the root came back with the cascade's
+                # batched root fetch); bundle every tail into this one fetch
+                # instead of a blocking fetch per tree at first open()
+                tail = t.tail_async()
+                if tail is not None:
+                    tail_jobs.append((t, int(tail.shape[1]), tail))
         val_jobs = []
         for i, idxs in cw_idx.items():
             dcw = getattr(codewords[i], "_dcw", None)
@@ -330,14 +342,21 @@ class Fri:
                 idx, arr = dcw.gather_values_async(sorted(idxs))
                 if idx:
                     val_jobs.append((dcw, idx, arr))
-        if tree_jobs:
+        if tree_jobs or tail_jobs:
             flat = np.asarray(jax.device_get(
-                jnp.concatenate([arr for _, _, arr in tree_jobs], axis=1)
+                jnp.concatenate(
+                    [arr for _, _, arr in tree_jobs]
+                    + [arr for _, _, arr in tail_jobs],
+                    axis=1,
+                )
             ))
             off = 0
             for t, keys, _ in tree_jobs:
                 t.absorb_siblings(keys, flat[:, off : off + len(keys)])
                 off += len(keys)
+            for t, width, _ in tail_jobs:
+                t.absorb_tail(flat[:, off : off + width])
+                off += width
         if val_jobs:
             flat = np.asarray(jax.device_get(
                 jnp.concatenate([arr for _, _, arr in val_jobs], axis=1)
@@ -410,7 +429,57 @@ class Fri:
         views: List = []  # per-round DeviceCodewordView / DigitsView
         trees: List[MerkleTree] = []
         cur = dcw
-        for r in range(rounds):
+
+        # fused commit cascade: fold+commit rounds with on-device
+        # Fiat-Shamir run as ONE dispatch + one root fetch (instead of a
+        # tree dispatch, a blocking tail fetch and a fold dispatch per
+        # round), while codewords are device-tree sized
+        r_start = 0
+        if (
+            hasattr(cur, "mont")
+            and hasattr(core, "fri_cascade")
+            and os.environ.get("STARK_TPU_DEVICE_FS", "1") != "0"
+        ):
+            n0 = len(cur)
+            k = 0
+            while k < rounds - 1 and (n0 >> k) >= DEVICE_TREE_MIN:
+                k += 1
+            if k >= 2:
+                import jax
+
+                from .ops.device_merkle import DeviceMerkleTree
+                from .ops.device_prover import DeviceCodeword
+                from .serialization import bincode_string_vec
+
+                w, o = omega, offset
+                for r in range(k):
+                    if pow(w, (n0 >> r) - 1, P) != pow(w, -1, P):
+                        raise ValueError(
+                            "error in commit: omega does not have the "
+                            "right order"
+                        )
+                    w, o = w * w % P, o * o % P
+                body = bincode_string_vec(proof_stream.objects)[8:]
+                per_round, roots_arr, final_mont = core.fri_cascade(
+                    cur.mont, body, len(proof_stream.objects),
+                    offset, omega, k,
+                )
+                roots = np.asarray(jax.device_get(roots_arr))
+                for r in range(k):
+                    root = np.ascontiguousarray(
+                        roots[r].astype("<u4")
+                    ).tobytes()
+                    mont_r, levels_r = per_round[r]
+                    trees.append(
+                        DeviceMerkleTree.from_cascade(n0 >> r, levels_r, root)
+                    )
+                    proof_stream.push(root.hex())
+                    views.append(DeviceCodeword(mont_r, core).view())
+                cur = DeviceCodeword(final_mont, core)
+                omega, offset = w, o
+                r_start = k
+
+        for r in range(r_start, rounds):
             n = len(cur)
             if pow(omega, n - 1, P) != pow(omega, -1, P):
                 raise ValueError(

@@ -294,20 +294,38 @@ def level_hash(child_rows):
     return blake2b256_single_block(m, 64)
 
 
+def tree_arrays_with_root(mont: jnp.ndarray, n: int):
+    """Traceable whole-tree build INCLUDING the root: returns
+    ``(levels, root_words)`` where ``levels`` are the stacked (8, w)
+    digest levels from the leaves down to TAIL_WIDTH (device-resident
+    for query openings) and ``root_words`` is the (8,) uint32 root —
+    the fused FRI cascade hashes all the way up on the device so the
+    per-round host fetch (tail + top hashing) disappears from the
+    commit critical path."""
+    rows = leaf_digests(mont)
+    out = [jnp.stack(rows)]
+    w = n
+    while w > TAIL_WIDTH:
+        rows = level_hash(rows)
+        w //= 2
+        out.append(jnp.stack(rows))
+    while w > 1:
+        rows = level_hash(rows)
+        w //= 2
+    root = jnp.stack([r.reshape(()) for r in rows])
+    return tuple(out), root
+
+
 @lru_cache(maxsize=32)
 def _tree_fn(n: int):
     """Jitted whole-tree builder for size n: Montgomery codeword in,
-    (leaf level, every level down to TAIL_WIDTH) out, one dispatch."""
+    ((leaf level, every level down to TAIL_WIDTH), root words) out, one
+    dispatch.  The root is hashed on the device too, so reading it costs
+    a 32-byte fetch instead of the 32 KB tail (which stays device-side
+    until the query phase batches it with the sibling gathers)."""
 
     def build(mont):
-        rows = leaf_digests(mont)
-        out = [jnp.stack(rows)]
-        w = n
-        while w > TAIL_WIDTH:
-            rows = level_hash(rows)
-            w //= 2
-            out.append(jnp.stack(rows))
-        return tuple(out)
+        return tree_arrays_with_root(mont, n)
 
     return jax.jit(build)
 
@@ -322,6 +340,26 @@ def _level_bytes(arr: np.ndarray) -> bytes:
     return np.ascontiguousarray(arr.T.astype("<u4")).tobytes()
 
 
+def roots_batch(trees) -> List[bytes]:
+    """Roots of many trees with at most ONE device fetch: stacks every
+    still-on-device root-word vector into a single gather (the commit
+    phase reads several 2^20-tree roots back-to-back; a blocking fetch
+    per tree costs a full tunnel round trip each)."""
+    jobs = [
+        (t, t.root_words_async() if hasattr(t, "root_words_async") else None)
+        for t in trees
+    ]
+    arrs = [w for _, w in jobs if w is not None]
+    if arrs:
+        flat = np.asarray(jax.device_get(jnp.stack(arrs)))
+        i = 0
+        for t, w in jobs:
+            if w is not None:
+                t.set_root(_digest_bytes(flat[i]))
+                i += 1
+    return [t.root for t, _ in jobs]
+
+
 class DeviceMerkleTree:
     """Merkle tree whose upper levels live on the device.
 
@@ -333,7 +371,8 @@ class DeviceMerkleTree:
 
     __slots__ = (
         "num_leaves", "_device_levels", "_host_levels", "_tail_arr",
-        "_log_n", "_log_tail_gap", "_sib_cache",
+        "_log_n", "_log_tail_gap", "_sib_cache", "_root_bytes",
+        "_root_words",
     )
 
     def __init__(self, mont: jnp.ndarray) -> None:
@@ -342,7 +381,21 @@ class DeviceMerkleTree:
             raise ValueError(
                 f"device tree needs a power-of-two codeword >= {2 * TAIL_WIDTH}"
             )
-        arrays = _tree_fn(n)(mont)
+        arrays, root_words = _tree_fn(n)(mont)
+        self._init_from_arrays(n, arrays, None)
+        self._root_words = root_words
+
+    @classmethod
+    def from_cascade(cls, n: int, arrays, root: bytes) -> "DeviceMerkleTree":
+        """Wrap level arrays produced inside the fused FRI cascade (the
+        root was hashed on device and fetched with the round-roots
+        batch, so ``.root`` never blocks on the 32 KB tail)."""
+        tree = cls.__new__(cls)
+        tree._init_from_arrays(n, arrays, root)
+        return tree
+
+    def _init_from_arrays(self, n: int, arrays, root) -> None:
+        self._root_words = None
         self.num_leaves = n
         # widths n .. 2*TAIL stay device-resident; the TAIL-wide level is
         # fetched (32 KB) and the top finishes on the host — LAZILY, so
@@ -356,19 +409,49 @@ class DeviceMerkleTree:
         self._log_n = n.bit_length() - 1
         self._log_tail_gap = self._log_n - TAIL_WIDTH.bit_length() + 1
         self._sib_cache: Dict[tuple, bytes] = {}
+        self._root_bytes = root
+
+    def tail_async(self):
+        """The (8, TAIL_WIDTH) tail level if it still needs fetching —
+        lets the query phase bundle every tree's tail into the one
+        batched sibling fetch instead of a blocking fetch per tree."""
+        return self._tail_arr if self._host_levels is None else None
+
+    def absorb_tail(self, arr: np.ndarray) -> None:
+        """Finish the host top levels from an externally fetched tail."""
+        if self._host_levels is not None:
+            return
+        self._tail_arr = None
+        host_levels = [_level_bytes(arr)]
+        while len(host_levels[-1]) > 32:
+            host_levels.append(merkle_level(host_levels[-1]))
+        self._host_levels = host_levels
 
     def _finish_top(self) -> List[bytes]:
         if self._host_levels is None:
-            tail = _level_bytes(np.asarray(jax.device_get(self._tail_arr)))
-            self._tail_arr = None
-            host_levels = [tail]
-            while len(host_levels[-1]) > 32:
-                host_levels.append(merkle_level(host_levels[-1]))
-            self._host_levels = host_levels
+            self.absorb_tail(np.asarray(jax.device_get(self._tail_arr)))
         return self._host_levels
+
+    def root_words_async(self):
+        """The device (8,) uint32 root-word array, or None if the root is
+        already known host-side — lets the prover stack many trees' roots
+        into ONE fetch (see Stark's commit phase)."""
+        if self._root_bytes is not None or self._host_levels is not None:
+            return None
+        return self._root_words
+
+    def set_root(self, root: bytes) -> None:
+        self._root_bytes = root
 
     @property
     def root(self) -> bytes:
+        if self._root_bytes is not None:
+            return self._root_bytes
+        if self._root_words is not None:
+            self._root_bytes = _digest_bytes(
+                np.asarray(jax.device_get(self._root_words))
+            )
+            return self._root_bytes
         return self._finish_top()[-1]
 
     def gather_siblings_async(self, indices: Sequence[int]):
@@ -401,11 +484,18 @@ class DeviceMerkleTree:
 
     def prefetch(self, indices: Sequence[int]) -> None:
         """Batch-gather every device-level sibling the auth paths of
-        ``indices`` will touch; one host fetch for the whole tree."""
+        ``indices`` will touch — plus the top-level tail if it hasn't
+        crossed yet; one host fetch for the whole tree."""
         keys, arr = self.gather_siblings_async(indices)
-        if not keys:
+        tail = self.tail_async()
+        parts = [a for a in (arr, tail) if a is not None]
+        if not parts:
             return
-        self.absorb_siblings(keys, np.asarray(jax.device_get(arr)))
+        flat = np.asarray(jax.device_get(jnp.concatenate(parts, axis=1)))
+        if keys:
+            self.absorb_siblings(keys, flat[:, : len(keys)])
+        if tail is not None:
+            self.absorb_tail(flat[:, len(keys) :])
 
     def _device_sibling(self, lvl: int, sib: int) -> bytes:
         key = (lvl, sib)

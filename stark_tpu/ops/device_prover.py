@@ -359,6 +359,95 @@ class DeviceProverCore:
         alpha_mont = jnp.asarray(_mont_pack([alpha % P]))
         return DeviceCodeword(fold_mont(dcw.mont, alpha_mont, inv), self)
 
+    # -- fused FRI commit cascade (on-device Fiat-Shamir) -------------------
+
+    def fri_cascade(
+        self,
+        mont: jnp.ndarray,
+        prefix_body: bytes,
+        count0: int,
+        offset: int,
+        omega: int,
+        rounds: int,
+    ):
+        """``rounds`` fused FRI commit rounds in ONE dispatch: per round,
+        Merkle tree (to the root, on device) -> hex root appended to the
+        bincode transcript body -> Shake256 Fiat-Shamir -> fold challenge
+        alpha -> fold.  The host is never consulted mid-cascade — the
+        commit loop's per-round tunnel crossings (tree dispatch, 32 KB
+        tail fetch, fold dispatch: ~3 x ~30 ms each on this link) all
+        collapse into one dispatch plus one tiny root fetch.
+
+        ``prefix_body`` is the serialized proof stream WITHOUT its
+        leading u64 count (the count changes with every push, so it is
+        re-prepended per round from ``count0``); transcript semantics
+        are the reference's exactly (proof_stream.rs:36-58, fri.rs:100-146).
+
+        Returns ``(per_round, roots, final_mont)`` where ``per_round[r]``
+        is ``(codeword_mont_r, tree_levels_r)``, ``roots`` is a
+        (rounds, 8) uint32 array of root words, and ``final_mont`` is the
+        folded codeword after the last fused round.  Byte-identity of
+        the resulting transcript with the unfused path is pinned by
+        tests/test_device_fs.py."""
+        from .device_fs import alpha_mont_from_fs, hex_words
+        from .device_keccak import shake256_words
+        from .device_merkle import tree_arrays_with_root
+
+        n0 = int(mont.shape[1])
+        key = (
+            "fri_cascade", n0, rounds, len(prefix_body), count0,
+            offset % P, omega % P,
+        )
+        fn = self._comb_cache.get(key)
+        if fn is None:
+            len64 = jnp.asarray(
+                np.frombuffer((64).to_bytes(8, "little"), dtype=np.uint8)
+            )
+            counts = [
+                jnp.asarray(
+                    np.frombuffer(
+                        (count0 + r + 1).to_bytes(8, "little"), dtype=np.uint8
+                    )
+                )
+                for r in range(rounds)
+            ]
+            # per-round inverse tables (host-cached, passed as arguments so
+            # the traced graph stays small and tables reuse across proves)
+            offs, omgs = [], []
+            o, w = offset % P, omega % P
+            for _ in range(rounds):
+                offs.append(o)
+                omgs.append(w)
+                o, w = o * o % P, w * w % P
+
+            def run(cur, body, tables):
+                per_round = []
+                roots = []
+                n = n0
+                for r in range(rounds):
+                    levels, root = tree_arrays_with_root(cur, n)
+                    body = jnp.concatenate([body, len64, hex_words(root)])
+                    fs = shake256_words(jnp.concatenate([counts[r], body]))
+                    alpha = alpha_mont_from_fs(fs)
+                    per_round.append((cur, levels))
+                    roots.append(root)
+                    cur = fold_mont(cur, alpha, tables[r])
+                    n //= 2
+                return tuple(per_round), jnp.stack(roots), cur
+
+            jitted = jax.jit(run)
+
+            def fn(cur, body_bytes):
+                tables = tuple(
+                    self._inv_table(offs[r], omgs[r], (n0 >> r) // 2)
+                    for r in range(rounds)
+                )
+                body = jnp.asarray(np.frombuffer(body_bytes, dtype=np.uint8))
+                return jitted(cur, body, tables)
+
+            self._comb_cache[key] = fn
+        return fn(mont, prefix_body)
+
     # -- x^shift columns ---------------------------------------------------
 
     def shift_table(self, shift: int, omega: int) -> jnp.ndarray:

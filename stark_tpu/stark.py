@@ -202,7 +202,16 @@ class Stark:
 
         pts = getattr(self, "_tz_points_mont", None)
         if pts is None or pts.shape[1] != m:
-            pts = ho.to_mont([fe.value for fe in self.omicron_domain[:m]])
+            # Montgomery power table by doubling: log2(m) vector
+            # multiplies, no per-element Python packing loop
+            om = self.omicron.value % P
+            pts = ho.to_mont([1])
+            k = 1
+            while k < m:
+                step = ho.to_mont([pow(om, k, P)])
+                pts = np.concatenate([pts, ho.mul(pts, step)], axis=1)
+                k *= 2
+            pts = np.ascontiguousarray(pts[:, :m])
             self._tz_points_mont = pts
         npts = len(xs)
         xm = ho.to_mont([fe.value for fe in xs])  # (4, npts)
@@ -852,10 +861,17 @@ class Stark:
             )
             randomizer_tree = core.merkle_tree(randomizer_codeword)
         with prof.region("bq_merkle"):
-            for tree in boundary_quotient_trees:
-                proof_stream.push(tree.root.hex())
+            from .ops.device_merkle import roots_batch
+
+            # one stacked fetch for every commitment root (bq registers +
+            # randomizer) instead of a blocking tail fetch per tree
+            commit_roots = roots_batch(
+                list(boundary_quotient_trees) + [randomizer_tree]
+            )
+            for root in commit_roots[:-1]:
+                proof_stream.push(root.hex())
         with prof.region("randomizer_merkle"):
-            proof_stream.push(randomizer_tree.root.hex())
+            proof_stream.push(commit_roots[-1].hex())
 
         fri_budget = self.fri_domain_length // self.expansion_factor - 1
         if max_degree > fri_budget:

@@ -1,0 +1,84 @@
+"""On-device Fiat-Shamir (fused FRI cascade) — bit-identity pins.
+
+The fused cascade (stark_tpu/ops/device_prover.py fri_cascade) computes
+Merkle roots, the Shake256 transcript draw and the fold challenge on the
+device; these tests pin every stage against the host implementations
+and the full cascade transcript against the unfused host FRI prover."""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.field import FieldElement
+from stark_tpu.fri import Fri
+from stark_tpu.params import P
+from stark_tpu.poly import Polynomial
+from stark_tpu.proof_stream import ProofStream
+
+
+def test_device_shake256_matches_hashlib():
+    from stark_tpu.ops.device_keccak import shake256_words
+
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 17, 135, 136, 137, 272, 500):
+        msg = rng.integers(0, 256, n, dtype=np.uint8)
+        want = hashlib.shake_256(msg.tobytes()).digest(32)
+        words = np.asarray(jax.device_get(shake256_words(jnp.asarray(msg))))
+        got = np.ascontiguousarray(words.astype("<u4")).tobytes()
+        assert got == want, f"shake256 mismatch at message length {n}"
+
+
+def test_device_hex_and_alpha_sampling():
+    from stark_tpu.ops import field_ops as fo
+    from stark_tpu.ops.device_fs import alpha_mont_from_fs, hex_words
+    from stark_tpu.ops.device_keccak import shake256_words
+    from stark_tpu.ops.limbs import unpack
+
+    rng = np.random.default_rng(1)
+    for trial in range(4):
+        msg = rng.integers(0, 256, 100 + 57 * trial, dtype=np.uint8)
+        fsb = hashlib.shake_256(msg.tobytes()).digest(32)
+        words = shake256_words(jnp.asarray(msg))
+        hx = bytes(np.asarray(jax.device_get(hex_words(words)))).decode()
+        assert hx == fsb.hex()
+        want = FieldElement.sample(fsb).value
+        got = unpack(
+            np.asarray(jax.device_get(fo.from_mont(alpha_mont_from_fs(words))))
+        )[0]
+        assert got == want
+
+
+def test_fused_cascade_transcript_byte_identical():
+    """A 2^14-domain FRI prove through the fused cascade produces a
+    byte-identical transcript to the pure-host prover, verifies, and the
+    cascade covers >= 2 fused rounds (the rest run on the host tail)."""
+    from stark_tpu.ops.device_prover import DeviceProverCore
+
+    n = 1 << 14
+    fri = Fri(
+        FieldElement.generator(), FieldElement.primitive_nth_root(n), n, 4, 2
+    )
+    poly = Polynomial([i * 7919 % P for i in range(1, n // 4)])
+    codeword = [fe.value for fe in poly.eval_domain(fri.eval_domain())]
+
+    ps_host = ProofStream()
+    idx_host = fri.prove(list(codeword), ps_host)
+
+    assert os.environ.get("STARK_TPU_DEVICE_FS", "1") != "0"
+    core = DeviceProverCore(n, fri.offset.value)
+    coeffs = list(poly.coeffs) + [0] * (n - len(poly.coeffs))
+    dcw = core.extend_codeword(coeffs)
+    ps_dev = ProofStream()
+    idx_dev = fri.prove(dcw, ps_dev)
+
+    assert idx_dev == idx_host
+    assert ps_dev.objects == ps_host.objects
+
+    # the transcript also verifies
+    points = []
+    assert fri.verify(ProofStream(ps_dev.objects), points)
