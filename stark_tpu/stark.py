@@ -927,16 +927,59 @@ class Stark:
         )
 
         with prof.region("openings"):
-            # batch every device-side gather before the serialization loops
-            for obj, idxs in (
-                [(cw, duplicated_indices) for cw in boundary_quotient_codewords]
-                + [(t, duplicated_indices) for t in boundary_quotient_trees]
-                + [(randomizer_codeword, indices), (randomizer_tree, indices)]
-            ):
-                for attr in ("prefetch_values", "prefetch"):
-                    if hasattr(obj, attr):
-                        getattr(obj, attr)(idxs)
-                        break
+            # batch every device-side gather before the serialization
+            # loops — and fetch them all in ONE host transfer (each
+            # separate fetch pays a full tunnel round trip)
+            value_jobs = []
+            for cw, idxs in [
+                (c, duplicated_indices) for c in boundary_quotient_codewords
+            ] + [(randomizer_codeword, indices)]:
+                if hasattr(cw, "gather_values_async"):
+                    got, arr = cw.gather_values_async(idxs)
+                    if got:
+                        value_jobs.append((cw, got, arr))
+            sib_jobs = []
+            tail_jobs = []
+            for tree, idxs in [
+                (t, duplicated_indices) for t in boundary_quotient_trees
+            ] + [(randomizer_tree, indices)]:
+                if hasattr(tree, "gather_siblings_async"):
+                    keys, arr = tree.gather_siblings_async(sorted(set(idxs)))
+                    if keys:
+                        sib_jobs.append((tree, keys, arr))
+                if hasattr(tree, "tail_async"):
+                    tail = tree.tail_async()
+                    if tail is not None:
+                        tail_jobs.append((tree, int(tail.shape[1]), tail))
+            if value_jobs or sib_jobs or tail_jobs:
+                import jax
+                import jax.numpy as jnp
+                import numpy as _np
+
+                # value gathers are (4, K) digit columns, tree gathers are
+                # (8, K) digest columns — zero-pad the former so the whole
+                # opening set crosses in one concatenated fetch
+                parts = [
+                    jnp.concatenate(
+                        [arr, jnp.zeros_like(arr)], axis=0
+                    )
+                    for _, _, arr in value_jobs
+                ] + [arr for _, _, arr in sib_jobs] + [
+                    arr for _, _, arr in tail_jobs
+                ]
+                flat = _np.asarray(
+                    jax.device_get(jnp.concatenate(parts, axis=1))
+                )
+                off = 0
+                for cw, got, _ in value_jobs:
+                    cw.absorb_values(got, flat[:4, off : off + len(got)])
+                    off += len(got)
+                for tree, keys, _ in sib_jobs:
+                    tree.absorb_siblings(keys, flat[:, off : off + len(keys)])
+                    off += len(keys)
+                for tree, width, _ in tail_jobs:
+                    tree.absorb_tail(flat[:, off : off + width])
+                    off += width
             for s in range(self.num_registers):
                 codeword = boundary_quotient_codewords[s]
                 tree = boundary_quotient_trees[s]
