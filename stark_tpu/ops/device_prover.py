@@ -224,6 +224,30 @@ def geometric_table(base: int, start: int, n: int) -> jnp.ndarray:
     )
 
 
+def degree_probe_with(core, restrict_iszero_raw, stack: jnp.ndarray) -> List[int]:
+    """Shared degree-probe implementation (natural and sharded cores):
+    jit one function that restricts each stacked codeword to coefficients
+    and reduces max(index of nonzero) on the device.  The reshape(-1)
+    makes the four-step (8, R, C) layout's row-major flattening equal the
+    natural coefficient index j = j1*C + j2."""
+    k = int(stack.shape[0])
+    key = ("degree_probe", k, stack.shape)
+    cache = core._comb_cache
+    fn = cache.get(key)
+    if fn is None:
+
+        def run(st):
+            outs = []
+            for i in range(k):
+                z = restrict_iszero_raw(st[i]).reshape(-1)
+                idx = jax.lax.iota(jnp.int32, z.shape[0])
+                outs.append(jnp.max(jnp.where(z, 0, idx)))
+            return jnp.stack(outs)
+
+        fn = cache[key] = jax.jit(run)
+    return [int(d) for d in np.asarray(jax.device_get(fn(stack)))]
+
+
 # ---------------------------------------------------------------------------
 # the core
 # ---------------------------------------------------------------------------
@@ -263,6 +287,7 @@ class DeviceProverCore:
 
         self._ext_jit = jax.jit(ext)
         self._ext_mont_jit = jax.jit(ext_mont)
+        self._restrict_iszero_raw = restrict_iszero
         self._restrict_iszero_jit = jax.jit(restrict_iszero)
 
     # -- RS extension ------------------------------------------------------
@@ -309,6 +334,14 @@ class DeviceProverCore:
         """Codeword -> is-zero bitmap of its coefficient vector (the degree
         probe; the coefficients themselves never leave the device)."""
         return np.asarray(jax.device_get(self._restrict_iszero_jit(cw_mont)))
+
+    def degree_probe(self, stack: jnp.ndarray) -> List[int]:
+        """Degrees of a (k, 8, n) stack of codewords in ONE dispatch and a
+        (k,)-int fetch: restrict to coefficients, reduce last-nonzero-index
+        on the device (zero polynomial -> 0, the host quirk) — instead of
+        fetching k full n-bit bitmaps (1 MB each at 2^20) over the
+        ~10 MB/s tunnel."""
+        return degree_probe_with(self, self._restrict_iszero_raw, stack)
 
     def to_digits(self, mont: jnp.ndarray) -> np.ndarray:
         """Layout hook for :class:`DeviceCodeword` (natural (8, n) here)."""

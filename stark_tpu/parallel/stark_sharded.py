@@ -81,6 +81,7 @@ class ShardedProverCore:
             return fo.is_zero(coeffs)
 
         self._ext_jit = jax.jit(ext)
+        self._restrict_iszero_raw = restrict_iszero
         self._restrict_iszero_jit = jax.jit(restrict_iszero)
 
         @jax.jit
@@ -140,6 +141,13 @@ class ShardedProverCore:
         """Degree probe: natural-order is-zero bitmap of the coefficients."""
         bitmap = np.asarray(jax.device_get(self._restrict_iszero_jit(cw_mont)))
         return bitmap.reshape(self.n)  # j = j1*C + j2: plain row-major
+
+    def degree_probe(self, stack: jnp.ndarray):
+        """Stacked degree probe, one dispatch + a (k,)-int fetch (see
+        :func:`stark_tpu.ops.device_prover.degree_probe_with`)."""
+        from ..ops.device_prover import degree_probe_with
+
+        return degree_probe_with(self, self._restrict_iszero_raw, stack)
 
     # -- layout / commitment ----------------------------------------------
 

@@ -730,13 +730,10 @@ class Stark:
             bq_tabs,
         )
 
-        # degree check from coefficient is-zero bitmaps (zero poly ->
-        # degree 0, matching the host quirk); reference: stark.rs:379-380
-        tq_degrees = []
-        for i in range(tq_stack.shape[0]):
-            row = core.restrict_iszero(tq_stack[i])
-            nz = np.nonzero(~row)[0]
-            tq_degrees.append(int(nz[-1]) if nz.size else 0)
+        # degree check, reduced on device to one (k,)-int fetch (zero
+        # poly -> degree 0, matching the host quirk); reference:
+        # stark.rs:379-380
+        tq_degrees = core.degree_probe(tq_stack)
         if tq_degrees != list(tq_bounds):
             raise ValueError(
                 f"transition quotient degrees {tq_degrees} do not match "
