@@ -128,17 +128,50 @@ def _signed(arr: jnp.ndarray, flip: np.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.asarray(flip)[None, :], fo.neg(arr), arr)
 
 
+@lru_cache(maxsize=16)
+def _interp_jit(n: int, start: int, q: int):
+    """One compiled executable for the whole interpolation — the
+    host-orchestrated version issued ~80 separate device dispatches per
+    trace register (every prefix-product round, table build and NTT pass
+    its own call, each paying per-dispatch tunnel overhead)."""
+    # build the product plans OUTSIDE the trace (plan construction
+    # materializes twiddle tables host-side, which a tracer cannot)
+    _product_plan(n + (n + n - 1) - 1)  # chirp-eval convolution
+    _product_plan((n + 1) + n - 1)  # numerator combine
+    return jax.jit(lambda ys: _interpolate_body(ys, start, q))
+
+
+def _fuse_interp() -> bool:
+    """Fuse the whole interpolation into one executable on accelerators;
+    on XLA:CPU the fused graph's chained Montgomery multiplies blow up
+    compile time superlinearly (measured 152 s at n=64 — the same cliff
+    as field_ops' barrier note), so the CPU path keeps per-op dispatch
+    (dispatch overhead is nil without the tunnel)."""
+    import os
+
+    env = os.environ.get("STARK_TPU_FUSE_INTERP")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
 def device_geometric_interpolate(
     ys: jnp.ndarray, start: int, q: int
 ) -> jnp.ndarray:
     """Montgomery coefficient array (8, n) of the unique interpolant
     through (start * q^i, ys[i]) — the Bostan-Schost chirp interpolation
-    of :func:`stark_tpu.geometric.geometric_interpolate`, device-resident."""
-    n = ys.shape[1]
+    of :func:`stark_tpu.geometric.geometric_interpolate`, device-resident
+    and (on accelerators) fused into a single dispatch."""
+    n = int(ys.shape[1])
     if n == 1:
         return ys
-    q %= P
-    start %= P
+    if _fuse_interp():
+        return _interp_jit(n, start % P, q % P)(ys)
+    return _interpolate_body(ys, start % P, q % P)
+
+
+def _interpolate_body(ys: jnp.ndarray, start: int, q: int) -> jnp.ndarray:
+    n = ys.shape[1]
     q_inv = pow(q, -1, P)
 
     # q-factorials: fact[k] = prod_{m=1..k} (q^m - 1), k = 0..n
