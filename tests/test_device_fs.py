@@ -82,3 +82,24 @@ def test_fused_cascade_transcript_byte_identical():
     # the transcript also verifies
     points = []
     assert fri.verify(ProofStream(ps_dev.objects), points)
+
+
+def test_stark_prove_with_cascade_byte_identical():
+    """A full STARK prove whose FRI domain (2^14) engages the fused
+    cascade produces byte-identical proofs to the pure-host prover."""
+    from stark_tpu.models.fibonacci import FibonacciStark
+    from stark_tpu.ops.backend import JaxBackend
+    from stark_tpu.rng import DeterministicRandom
+
+    steps = 1200  # randomized trace 1209 -> omicron domain 4096 -> FRI 2^14
+    host = FibonacciStark(steps, rng=DeterministicRandom(21))
+    dev = FibonacciStark(
+        steps, backend=JaxBackend(), rng=DeterministicRandom(21)
+    )
+    assert dev.stark.fri_domain_length == 1 << 14
+    a, b = FieldElement(1), FieldElement(1)
+    r_host, p_host = host.prove(a, b)
+    r_dev, p_dev = dev.prove(a, b)
+    assert r_dev == r_host
+    assert p_dev == p_host
+    assert dev.verify(a, b, r_dev, p_dev)
