@@ -427,59 +427,54 @@ class DeviceProverCore:
         from .device_merkle import tree_arrays_with_root
 
         n0 = int(mont.shape[1])
-        key = (
-            "fri_cascade", n0, rounds, len(prefix_body), count0,
-            offset % P, omega % P,
-        )
-        fn = self._comb_cache.get(key)
-        if fn is None:
-            len64 = jnp.asarray(
-                np.frombuffer((64).to_bytes(8, "little"), dtype=np.uint8)
-            )
-            counts = [
-                jnp.asarray(
+        len64 = (64).to_bytes(8, "little")
+
+        # one jitted executable PER ROUND (cached per shape/count), not one
+        # for the whole cascade: the per-round module is exactly the size
+        # of the already-proven single-tree compile, while fusing all
+        # rounds would stack ~8 unrolled Blake2b trees into one ~300k-op
+        # module (a remote-compile risk).  The host loop below enqueues
+        # the rounds back-to-back WITHOUT any device fetch, so the commit
+        # critical path still crosses the tunnel exactly once (the stacked
+        # root fetch done by the caller).
+        def round_fn(n_r: int, body_len: int, count_r: int):
+            key = ("fri_cascade_round", n_r, body_len, count_r)
+            fn = self._comb_cache.get(key)
+            if fn is None:
+                count_arr = jnp.asarray(
                     np.frombuffer(
-                        (count0 + r + 1).to_bytes(8, "little"), dtype=np.uint8
+                        count_r.to_bytes(8, "little"), dtype=np.uint8
                     )
                 )
-                for r in range(rounds)
-            ]
-            # per-round inverse tables (host-cached, passed as arguments so
-            # the traced graph stays small and tables reuse across proves)
-            offs, omgs = [], []
-            o, w = offset % P, omega % P
-            for _ in range(rounds):
-                offs.append(o)
-                omgs.append(w)
-                o, w = o * o % P, w * w % P
-
-            def run(cur, body, tables):
-                per_round = []
-                roots = []
-                n = n0
-                for r in range(rounds):
-                    levels, root = tree_arrays_with_root(cur, n)
-                    body = jnp.concatenate([body, len64, hex_words(root)])
-                    fs = shake256_words(jnp.concatenate([counts[r], body]))
-                    alpha = alpha_mont_from_fs(fs)
-                    per_round.append((cur, levels))
-                    roots.append(root)
-                    cur = fold_mont(cur, alpha, tables[r])
-                    n //= 2
-                return tuple(per_round), jnp.stack(roots), cur
-
-            jitted = jax.jit(run)
-
-            def fn(cur, body_bytes):
-                tables = tuple(
-                    self._inv_table(offs[r], omgs[r], (n0 >> r) // 2)
-                    for r in range(rounds)
+                len64_arr = jnp.asarray(
+                    np.frombuffer(len64, dtype=np.uint8)
                 )
-                body = jnp.asarray(np.frombuffer(body_bytes, dtype=np.uint8))
-                return jitted(cur, body, tables)
 
-            self._comb_cache[key] = fn
-        return fn(mont, prefix_body)
+                def run(cur, body, table):
+                    levels, root = tree_arrays_with_root(cur, n_r)
+                    body = jnp.concatenate([body, len64_arr, hex_words(root)])
+                    fs = shake256_words(jnp.concatenate([count_arr, body]))
+                    alpha = alpha_mont_from_fs(fs)
+                    return levels, root, body, fold_mont(cur, alpha, table)
+
+                fn = self._comb_cache[key] = jax.jit(run)
+            return fn
+
+        body = jnp.asarray(np.frombuffer(prefix_body, dtype=np.uint8))
+        cur = mont
+        o, w = offset % P, omega % P
+        per_round = []
+        roots = []
+        for r in range(rounds):
+            n_r = n0 >> r
+            fn = round_fn(n_r, int(body.shape[0]), count0 + r + 1)
+            table = self._inv_table(o, w, n_r // 2)
+            levels, root, body, nxt = fn(cur, body, table)
+            per_round.append((cur, levels))
+            roots.append(root)
+            cur = nxt
+            o, w = o * o % P, w * w % P
+        return tuple(per_round), jnp.stack(roots), cur
 
     # -- x^shift columns ---------------------------------------------------
 
