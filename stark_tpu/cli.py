@@ -1,10 +1,12 @@
 """Command-line interface.
 
 The reference ships no CLI (reference: main.rs:17-19 is empty); this one
-wraps the flagship Rescue-Prime STARK pipeline:
+wraps both model families:
 
     python -m stark_tpu.cli prove  --input 57322816861100832358702415967512842988 --out proof.bin
     python -m stark_tpu.cli verify --output <hash> --proof proof.bin
+    python -m stark_tpu.cli prove  --model fibonacci --steps 4096 --out fib.bin
+    python -m stark_tpu.cli verify --model fibonacci --steps 4096 --output <result> --proof fib.bin
     python -m stark_tpu.cli hash   --input 1
     python -m stark_tpu.cli info
 """
@@ -18,7 +20,6 @@ import time
 
 
 def _build_model(args):
-    from stark_tpu.models.rescue_stark import RescueStark
     from stark_tpu.rng import DeterministicRandom, os_random_bytes
 
     backend = None
@@ -27,13 +28,20 @@ def _build_model(args):
 
         backend = JaxBackend()
     rng = DeterministicRandom(args.seed) if args.seed is not None else os_random_bytes
-    return RescueStark(
+    common = dict(
         expansion_factor=args.expansion_factor,
         num_colinearity_tests=args.num_colinearity_tests,
         security_level=args.security_level,
         backend=backend,
         rng=rng,
     )
+    if args.model == "fibonacci":
+        from stark_tpu.models.fibonacci import FibonacciStark
+
+        return FibonacciStark(args.steps, **common)
+    from stark_tpu.models.rescue_stark import RescueStark
+
+    return RescueStark(**common)
 
 
 def main(argv=None) -> int:
@@ -41,6 +49,17 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     def add_common(p):
+        p.add_argument(
+            "--model", choices=["rescue", "fibonacci"], default="rescue",
+            help="model family: Rescue-Prime hash preimage (default) or "
+            "Fibonacci sequence",
+        )
+        p.add_argument("--steps", type=int, default=4096,
+                       help="trace steps (fibonacci model only)")
+        p.add_argument("--seed-a", default="1",
+                       help="first sequence seed (fibonacci model only)")
+        p.add_argument("--seed-b", default="1",
+                       help="second sequence seed (fibonacci model only)")
         p.add_argument("--expansion-factor", type=int, default=4)
         p.add_argument("--num-colinearity-tests", type=int, default=2)
         p.add_argument("--security-level", type=int, default=2)
@@ -51,13 +70,15 @@ def main(argv=None) -> int:
         p.add_argument("--seed", type=int, default=None,
                        help="deterministic proof randomness (testing)")
 
-    p = sub.add_parser("prove", help="prove knowledge of a hash preimage")
-    p.add_argument("--input", required=True, help="preimage field element (int)")
+    p = sub.add_parser("prove", help="prove a statement (preimage / sequence)")
+    p.add_argument("--input", default=None,
+                   help="preimage field element (rescue model)")
     p.add_argument("--out", required=True, help="output proof file")
     add_common(p)
 
-    p = sub.add_parser("verify", help="verify a proof against a hash output")
-    p.add_argument("--output", required=True, help="claimed hash output (int)")
+    p = sub.add_parser("verify", help="verify a proof against a claimed output")
+    p.add_argument("--output", required=True,
+                   help="claimed hash output / sequence result (int)")
     p.add_argument("--proof", required=True, help="proof file")
     add_common(p)
 
@@ -141,11 +162,21 @@ def main(argv=None) -> int:
         return 0
 
     model = _build_model(args)
+    fib = args.model == "fibonacci"
+    if fib:
+        seeds = (
+            parse_element(args.seed_a, "--seed-a"),
+            parse_element(args.seed_b, "--seed-b"),
+        )
 
     if args.command == "prove":
-        x = parse_element(args.input, "--input")
         t0 = time.perf_counter()
-        output, proof = model.prove(x)
+        if fib:
+            output, proof = model.prove(*seeds)
+        else:
+            if args.input is None:
+                parser.error("--input is required for the rescue model")
+            output, proof = model.prove(parse_element(args.input, "--input"))
         dt = time.perf_counter() - t0
         with open(args.out, "wb") as f:
             f.write(proof)
@@ -164,8 +195,12 @@ def main(argv=None) -> int:
     if args.command == "verify":
         with open(args.proof, "rb") as f:
             proof = f.read()
+        claimed = parse_element(args.output, "--output")
         t0 = time.perf_counter()
-        ok = model.verify(parse_element(args.output, "--output"), proof)
+        if fib:
+            ok = model.verify(*seeds, claimed, proof)
+        else:
+            ok = model.verify(claimed, proof)
         dt = time.perf_counter() - t0
         print(json.dumps({"valid": bool(ok), "verify_seconds": round(dt, 3)}))
         return 0 if ok else 1

@@ -81,3 +81,29 @@ def test_cli_inspect(tmp_path, capsys):
         f.write(b"junk")
     assert cli_main(["inspect", "--proof", bad]) == 1
     assert "malformed" in json.loads(capsys.readouterr().out)["error"]
+
+
+def test_cli_fibonacci_prove_verify(tmp_path):
+    """The fibonacci model family is reachable from the CLI: prove a
+    short sequence, verify the honest result, reject a wrong one."""
+    import json
+
+    from stark_tpu.cli import main
+    from stark_tpu.field import FieldElement
+    from stark_tpu.models.fibonacci import FibonacciAir
+
+    proof_file = str(tmp_path / "fib.bin")
+    rc = main([
+        "prove", "--model", "fibonacci", "--steps", "60",
+        "--out", proof_file, "--seed", "5",
+    ])
+    assert rc == 0
+    result = FibonacciAir(60).result(FieldElement(1), FieldElement(1))
+    assert main([
+        "verify", "--model", "fibonacci", "--steps", "60",
+        "--output", str(result.value), "--proof", proof_file,
+    ]) == 0
+    assert main([
+        "verify", "--model", "fibonacci", "--steps", "60",
+        "--output", "999", "--proof", proof_file,
+    ]) == 1
