@@ -418,9 +418,10 @@ class Fri:
         are tiny, and each extra device round would cost a full tunnel
         round trip (~30 ms here) for microseconds of compute.  Transcripts
         are byte-identical to :meth:`prove` on the gathered codeword."""
-        from .ops.device_merkle import DEVICE_TREE_MIN
+        from .ops.device_merkle import DEVICE_TREE_MIN, TAIL_WIDTH
         from .ops.device_prover import DigitsView
 
+        device_floor = max(DEVICE_TREE_MIN, 2 * TAIL_WIDTH)
         core = dcw.core
         omega = self.omega.value % P
         offset = self.offset.value % P
@@ -442,7 +443,7 @@ class Fri:
         ):
             n0 = len(cur)
             k = 0
-            while k < rounds - 1 and (n0 >> k) >= DEVICE_TREE_MIN:
+            while k < rounds - 1 and (n0 >> k) >= device_floor:
                 k += 1
             if k >= 2:
                 import jax
@@ -486,7 +487,7 @@ class Fri:
                     "error in commit: omega does not have the right order"
                 )
             on_device = hasattr(cur, "mont")
-            if on_device and n < DEVICE_TREE_MIN:
+            if on_device and n < device_floor:
                 # one fetch; the tail stays a host digit matrix (numpy
                 # folds + native-C trees, no Python-int codewords)
                 cur = DigitsView(cur.digits)

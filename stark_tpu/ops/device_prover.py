@@ -356,11 +356,11 @@ class DeviceProverCore:
         the host.  Small codewords take the digit-matrix + native-C path
         (lower latency than a device dispatch round-trip).  Roots and
         auth paths are byte-identical either way (pinned by tests)."""
-        from .device_merkle import DEVICE_TREE_MIN, DeviceMerkleTree
+        from .device_merkle import DEVICE_TREE_MIN, TAIL_WIDTH, DeviceMerkleTree
 
         if (
             dcw.mont.ndim == 2
-            and dcw.mont.shape[1] >= DEVICE_TREE_MIN
+            and dcw.mont.shape[1] >= max(DEVICE_TREE_MIN, 2 * TAIL_WIDTH)
             and dcw._digits is None
         ):
             return DeviceMerkleTree(dcw.mont)

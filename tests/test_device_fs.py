@@ -84,19 +84,28 @@ def test_fused_cascade_transcript_byte_identical():
     assert fri.verify(ProofStream(ps_dev.objects), points)
 
 
-def test_stark_prove_with_cascade_byte_identical():
-    """A full STARK prove whose FRI domain (2^14) engages the fused
-    cascade produces byte-identical proofs to the pure-host prover."""
+def test_stark_prove_with_cascade_byte_identical(monkeypatch):
+    """A full STARK prove that engages the fused cascade produces
+    byte-identical proofs to the pure-host prover.
+
+    The thresholds are lowered so the whole pipeline runs at a 2^12 FRI
+    domain: full-size (2^14+) compiles of every prover stage in one
+    process trip XLA:CPU's nondeterministic many-modules abort (the
+    pathology tests/conftest.py documents); the 2^14 cascade mechanics
+    are covered per-stage by the FRI-level test above."""
     from stark_tpu.models.fibonacci import FibonacciStark
+    from stark_tpu.ops import device_merkle
     from stark_tpu.ops.backend import JaxBackend
     from stark_tpu.rng import DeterministicRandom
 
-    steps = 1200  # randomized trace 1209 -> omicron domain 4096 -> FRI 2^14
+    monkeypatch.setattr(device_merkle, "DEVICE_TREE_MIN", 1024)
+    steps = 300  # randomized trace 309 -> omicron domain 1024 -> FRI 2^12
     host = FibonacciStark(steps, rng=DeterministicRandom(21))
-    dev = FibonacciStark(
-        steps, backend=JaxBackend(), rng=DeterministicRandom(21)
-    )
-    assert dev.stark.fri_domain_length == 1 << 14
+    backend = JaxBackend()
+    backend.device_prover_min = 1 << 12
+    dev = FibonacciStark(steps, backend=backend, rng=DeterministicRandom(21))
+    assert dev.stark.fri_domain_length == 1 << 12
+    assert dev.stark._use_device_pipeline()
     a, b = FieldElement(1), FieldElement(1)
     r_host, p_host = host.prove(a, b)
     r_dev, p_dev = dev.prove(a, b)
