@@ -54,12 +54,12 @@ def main(argv=None) -> int:
             help="model family: Rescue-Prime hash preimage (default) or "
             "Fibonacci sequence",
         )
-        p.add_argument("--steps", type=int, default=4096,
-                       help="trace steps (fibonacci model only)")
-        p.add_argument("--seed-a", default="1",
-                       help="first sequence seed (fibonacci model only)")
-        p.add_argument("--seed-b", default="1",
-                       help="second sequence seed (fibonacci model only)")
+        p.add_argument("--steps", type=int, default=None,
+                       help="trace steps (fibonacci model only; default 4096)")
+        p.add_argument("--seed-a", default=None,
+                       help="first sequence seed (fibonacci model only; default 1)")
+        p.add_argument("--seed-b", default=None,
+                       help="second sequence seed (fibonacci model only; default 1)")
         p.add_argument("--expansion-factor", type=int, default=4)
         p.add_argument("--num-colinearity-tests", type=int, default=2)
         p.add_argument("--security-level", type=int, default=2)
@@ -161,12 +161,25 @@ def main(argv=None) -> int:
         print(json.dumps(info, indent=2))
         return 0
 
-    model = _build_model(args)
     fib = args.model == "fibonacci"
+    # reject cross-model arguments: silently ignoring them would let a
+    # user "prove" a different statement than they asked for
+    if fib and getattr(args, "input", None) is not None:
+        parser.error("--input belongs to the rescue model; the fibonacci "
+                     "model takes --seed-a/--seed-b")
+    if not fib:
+        for name, val in (("--steps", args.steps),
+                          ("--seed-a", args.seed_a),
+                          ("--seed-b", args.seed_b)):
+            if val is not None:
+                parser.error(f"{name} is only valid with --model fibonacci")
+    if args.steps is None:
+        args.steps = 4096
+    model = _build_model(args)
     if fib:
         seeds = (
-            parse_element(args.seed_a, "--seed-a"),
-            parse_element(args.seed_b, "--seed-b"),
+            parse_element(args.seed_a or "1", "--seed-a"),
+            parse_element(args.seed_b or "1", "--seed-b"),
         )
 
     if args.command == "prove":

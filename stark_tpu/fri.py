@@ -295,15 +295,11 @@ class Fri:
 
     def _batch_prefetch(self, codewords, trees, top_indices) -> None:
         """Device provers: every round's index set is a deterministic
-        function of the top-level indices, so ALL auth-path siblings and
-        opened values of the whole query phase can be gathered up front —
-        two host fetches total instead of several per round (each fetch
-        pays a full tunnel round trip).  No-op for host lists/trees."""
+        function of the top-level indices, so ALL auth-path siblings,
+        tree tails and opened values of the whole query phase can be
+        gathered up front and fetched ONCE (each separate fetch pays a
+        full tunnel round trip).  No-op for host lists/trees."""
         from collections import defaultdict
-
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
 
         cw_idx: dict = defaultdict(set)
         tr_idx: dict = defaultdict(set)
@@ -319,14 +315,26 @@ class Fri:
             tr_idx[i + 1].update(a)
             indices = a + b
 
-        tree_jobs = []
-        tail_jobs = []
+        # pure-host proves must not touch the device modules at all
+        # (importing them initializes the JAX backend)
+        if not any(
+            hasattr(t, "gather_siblings_async") for t in trees
+        ) and not any(
+            hasattr(getattr(c, "_dcw", None), "gather_values_async")
+            for c in codewords
+        ):
+            return
+        from .ops.device_prover import fetch_absorb, pad_rows
+
+        jobs = []
         for i, idxs in tr_idx.items():
             t = trees[i]
             if hasattr(t, "gather_siblings_async"):
                 keys, arr = t.gather_siblings_async(sorted(idxs))
                 if keys:
-                    tree_jobs.append((t, keys, arr))
+                    jobs.append(
+                        (arr, lambda s, t=t, keys=keys: t.absorb_siblings(keys, s))
+                    )
             if hasattr(t, "tail_async"):
                 # trees from the fused cascade haven't fetched their 32 KB
                 # top-level tail yet (the root came back with the cascade's
@@ -334,37 +342,17 @@ class Fri:
                 # instead of a blocking fetch per tree at first open()
                 tail = t.tail_async()
                 if tail is not None:
-                    tail_jobs.append((t, int(tail.shape[1]), tail))
-        val_jobs = []
+                    jobs.append((tail, lambda s, t=t: t.absorb_tail(s)))
         for i, idxs in cw_idx.items():
             dcw = getattr(codewords[i], "_dcw", None)
             if dcw is not None and hasattr(dcw, "gather_values_async"):
                 idx, arr = dcw.gather_values_async(sorted(idxs))
                 if idx:
-                    val_jobs.append((dcw, idx, arr))
-        if tree_jobs or tail_jobs:
-            flat = np.asarray(jax.device_get(
-                jnp.concatenate(
-                    [arr for _, _, arr in tree_jobs]
-                    + [arr for _, _, arr in tail_jobs],
-                    axis=1,
-                )
-            ))
-            off = 0
-            for t, keys, _ in tree_jobs:
-                t.absorb_siblings(keys, flat[:, off : off + len(keys)])
-                off += len(keys)
-            for t, width, _ in tail_jobs:
-                t.absorb_tail(flat[:, off : off + width])
-                off += width
-        if val_jobs:
-            flat = np.asarray(jax.device_get(
-                jnp.concatenate([arr for _, _, arr in val_jobs], axis=1)
-            ))
-            off = 0
-            for dcw, idx, _ in val_jobs:
-                dcw.absorb_values(idx, flat[:, off : off + len(idx)])
-                off += len(idx)
+                    jobs.append((
+                        pad_rows(arr, 8),
+                        lambda s, d=dcw, idx=idx: d.absorb_values(idx, s[:4]),
+                    ))
+        fetch_absorb(jobs)
 
     def _query_phase(
         self, codewords: Sequence, trees: List[MerkleTree], proof_stream: ProofStream

@@ -447,6 +447,9 @@ class DeviceMerkleTree:
     def root(self) -> bytes:
         if self._root_bytes is not None:
             return self._root_bytes
+        if self._host_levels is not None:
+            # tail already absorbed: the root is host-derivable for free
+            return self._finish_top()[-1]
         if self._root_words is not None:
             self._root_bytes = _digest_bytes(
                 np.asarray(jax.device_get(self._root_words))
@@ -486,16 +489,18 @@ class DeviceMerkleTree:
         """Batch-gather every device-level sibling the auth paths of
         ``indices`` will touch — plus the top-level tail if it hasn't
         crossed yet; one host fetch for the whole tree."""
+        from .device_prover import fetch_absorb
+
         keys, arr = self.gather_siblings_async(indices)
-        tail = self.tail_async()
-        parts = [a for a in (arr, tail) if a is not None]
-        if not parts:
-            return
-        flat = np.asarray(jax.device_get(jnp.concatenate(parts, axis=1)))
+        jobs = []
         if keys:
-            self.absorb_siblings(keys, flat[:, : len(keys)])
+            jobs.append(
+                (arr, lambda s: self.absorb_siblings(keys, s))
+            )
+        tail = self.tail_async()
         if tail is not None:
-            self.absorb_tail(flat[:, len(keys) :])
+            jobs.append((tail, self.absorb_tail))
+        fetch_absorb(jobs)
 
     def _device_sibling(self, lvl: int, sib: int) -> bytes:
         key = (lvl, sib)

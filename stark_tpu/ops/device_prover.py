@@ -224,6 +224,37 @@ def geometric_table(base: int, start: int, n: int) -> jnp.ndarray:
     )
 
 
+def fetch_absorb(jobs) -> None:
+    """One batched device fetch for many gathers: ``jobs`` is a sequence
+    of ``(device_array, absorb_fn)`` pairs (arrays all (R, K), same R —
+    pad narrower ones before calling).  Concatenates along axis 1,
+    fetches ONCE, and hands each absorb_fn its column slice in order —
+    the single place that owns the offset bookkeeping the query-phase,
+    openings and per-tree prefetch paths all need."""
+    jobs = [(a, f) for a, f in jobs if a is not None]
+    if not jobs:
+        return
+    flat = np.asarray(
+        jax.device_get(jnp.concatenate([a for a, _ in jobs], axis=1))
+    )
+    off = 0
+    for a, f in jobs:
+        k = int(a.shape[1])
+        f(flat[:, off : off + k])
+        off += k
+
+
+def pad_rows(arr: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Zero-pad a (r, K) device array to (rows, K) so differently-shaped
+    gathers can share one fetch_absorb transfer."""
+    r = int(arr.shape[0])
+    if r == rows:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros((rows - r,) + arr.shape[1:], arr.dtype)], axis=0
+    )
+
+
 def degree_probe_with(core, restrict_iszero_raw, stack: jnp.ndarray) -> List[int]:
     """Shared degree-probe implementation (natural and sharded cores):
     jit one function that restricts each stacked codeword to coefficients

@@ -211,26 +211,39 @@ class Stark:
                 step = ho.to_mont([pow(om, k, P)])
                 pts = np.concatenate([pts, ho.mul(pts, step)], axis=1)
                 k *= 2
-            pts = np.ascontiguousarray(pts[:, :m])
+            # cache as uint32 (the limbs are 32-bit values) — halves the
+            # footprint of a 2^24-point table; upcast per block at use
+            pts = np.ascontiguousarray(pts[:, :m]).astype(np.uint32)
             self._tz_points_mont = pts
         npts = len(xs)
         xm = ho.to_mont([fe.value for fe in xs])  # (4, npts)
-        fac = ho.sub(
-            np.repeat(xm, m, axis=1), np.tile(pts, npts)
-        )  # (4, npts*m): column p*m+i holds mont(x_p - omicron^i)
-        mpad = 1 << (m - 1).bit_length()
         one = ho.to_mont([1])
-        buf = np.empty((4, npts, mpad), dtype=np.uint64)
-        buf[:, :, :m] = fac.reshape(4, npts, m)
-        buf[:, :, m:] = one[:, :, None]
-        w = mpad
-        while w > 1:  # log-depth pairwise product reduction
-            h = w // 2
-            a = np.ascontiguousarray(buf[:, :, :h].reshape(4, -1))
-            b = np.ascontiguousarray(buf[:, :, h:w].reshape(4, -1))
-            buf = ho.mul(a, b).reshape(4, npts, h)
-            w = h
-        out = ho.from_mont(np.ascontiguousarray(buf.reshape(4, npts)))
+        # process the m point-factors in blocks so peak memory stays
+        # O(npts * block) — a 2^24-step verify would otherwise build
+        # several GB-scale temporaries (mod-p products are associative,
+        # so block-wise accumulation is bit-identical)
+        block = max(1024, (1 << 22) // max(npts, 1))
+        acc = np.ascontiguousarray(np.broadcast_to(one, (4, npts)))
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            w = hi - lo
+            fac = ho.sub(
+                np.repeat(xm, w, axis=1),
+                np.tile(pts[:, lo:hi].astype(np.uint64), npts),
+            )  # (4, npts*w): column p*w+i holds mont(x_p - omicron^{lo+i})
+            wpad = 1 << max(w - 1, 1).bit_length()
+            buf = np.empty((4, npts, wpad), dtype=np.uint64)
+            buf[:, :, :w] = fac.reshape(4, npts, w)
+            buf[:, :, w:] = one[:, :, None]
+            width = wpad
+            while width > 1:  # log-depth pairwise product reduction
+                h = width // 2
+                a = np.ascontiguousarray(buf[:, :, :h].reshape(4, -1))
+                b = np.ascontiguousarray(buf[:, :, h:width].reshape(4, -1))
+                buf = ho.mul(a, b).reshape(4, npts, h)
+                width = h
+            acc = ho.mul(acc, np.ascontiguousarray(buf.reshape(4, npts)))
+        out = ho.from_mont(acc)
         return [FieldElement(v) for v in out]
 
     def transition_degree_bounds(
@@ -927,56 +940,40 @@ class Stark:
             # batch every device-side gather before the serialization
             # loops — and fetch them all in ONE host transfer (each
             # separate fetch pays a full tunnel round trip)
-            value_jobs = []
+            from .ops.device_prover import fetch_absorb, pad_rows
+
+            jobs = []
             for cw, idxs in [
                 (c, duplicated_indices) for c in boundary_quotient_codewords
             ] + [(randomizer_codeword, indices)]:
                 if hasattr(cw, "gather_values_async"):
                     got, arr = cw.gather_values_async(idxs)
                     if got:
-                        value_jobs.append((cw, got, arr))
-            sib_jobs = []
-            tail_jobs = []
+                        jobs.append((
+                            pad_rows(arr, 8),
+                            lambda s, c=cw, got=got: c.absorb_values(
+                                got, s[:4]
+                            ),
+                        ))
             for tree, idxs in [
                 (t, duplicated_indices) for t in boundary_quotient_trees
             ] + [(randomizer_tree, indices)]:
                 if hasattr(tree, "gather_siblings_async"):
                     keys, arr = tree.gather_siblings_async(sorted(set(idxs)))
                     if keys:
-                        sib_jobs.append((tree, keys, arr))
+                        jobs.append((
+                            arr,
+                            lambda s, t=tree, keys=keys: t.absorb_siblings(
+                                keys, s
+                            ),
+                        ))
                 if hasattr(tree, "tail_async"):
                     tail = tree.tail_async()
                     if tail is not None:
-                        tail_jobs.append((tree, int(tail.shape[1]), tail))
-            if value_jobs or sib_jobs or tail_jobs:
-                import jax
-                import jax.numpy as jnp
-                import numpy as _np
-
-                # value gathers are (4, K) digit columns, tree gathers are
-                # (8, K) digest columns — zero-pad the former so the whole
-                # opening set crosses in one concatenated fetch
-                parts = [
-                    jnp.concatenate(
-                        [arr, jnp.zeros_like(arr)], axis=0
-                    )
-                    for _, _, arr in value_jobs
-                ] + [arr for _, _, arr in sib_jobs] + [
-                    arr for _, _, arr in tail_jobs
-                ]
-                flat = _np.asarray(
-                    jax.device_get(jnp.concatenate(parts, axis=1))
-                )
-                off = 0
-                for cw, got, _ in value_jobs:
-                    cw.absorb_values(got, flat[:4, off : off + len(got)])
-                    off += len(got)
-                for tree, keys, _ in sib_jobs:
-                    tree.absorb_siblings(keys, flat[:, off : off + len(keys)])
-                    off += len(keys)
-                for tree, width, _ in tail_jobs:
-                    tree.absorb_tail(flat[:, off : off + width])
-                    off += width
+                        jobs.append(
+                            (tail, lambda s, t=tree: t.absorb_tail(s))
+                        )
+            fetch_absorb(jobs)
             for s in range(self.num_registers):
                 codeword = boundary_quotient_codewords[s]
                 tree = boundary_quotient_trees[s]

@@ -76,3 +76,33 @@ def test_device_interpolate_matches_host(n, start):
     want = geometric_interpolate(xs, ys, q)
     got = _to_host(device_geometric_interpolate(_to_device(ys), start, q))
     assert got == want
+
+
+def test_fused_interpolation_matches_host(monkeypatch):
+    """The single-dispatch fused interpolation path (the default on
+    accelerators, off on CPU for compile time) traces and matches the
+    host golden model — the only CI pin for the code path the TPU runs.
+    Smallest size on purpose: even n=16 costs ~2 min of XLA:CPU compile."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from stark_tpu.field import FieldElement
+    from stark_tpu.geometric import geometric_interpolate
+    from stark_tpu.ops import field_ops as fo
+    from stark_tpu.ops import geometric_device
+    from stark_tpu.ops.limbs import pack, unpack
+    from stark_tpu.params import P
+
+    monkeypatch.setenv("STARK_TPU_FUSE_INTERP", "1")
+    assert geometric_device._fuse_interp()
+    n = 16
+    q = FieldElement.primitive_nth_root(64).value
+    xs = [pow(q, i, P) for i in range(n)]
+    ys = [i * 997 % P for i in range(1, n + 1)]
+    got_m = geometric_device.device_geometric_interpolate(
+        fo.to_mont(jnp.asarray(pack(ys))), 1, q
+    )
+    got = unpack(np.asarray(jax.device_get(fo.from_mont(got_m))))
+    assert got == geometric_interpolate(xs, ys, q)
