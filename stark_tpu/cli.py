@@ -1,12 +1,14 @@
 """Command-line interface.
 
 The reference ships no CLI (reference: main.rs:17-19 is empty); this one
-wraps both model families:
+wraps all three model families:
 
     python -m stark_tpu.cli prove  --input 57322816861100832358702415967512842988 --out proof.bin
     python -m stark_tpu.cli verify --output <hash> --proof proof.bin
     python -m stark_tpu.cli prove  --model fibonacci --steps 4096 --out fib.bin
     python -m stark_tpu.cli verify --model fibonacci --steps 4096 --output <result> --proof fib.bin
+    python -m stark_tpu.cli prove  --model mimc --steps 1024 --input 3 --out mimc.bin
+    python -m stark_tpu.cli verify --model mimc --steps 1024 --input 3 --output <result> --proof mimc.bin
     python -m stark_tpu.cli hash   --input 1
     python -m stark_tpu.cli info
 """
@@ -39,6 +41,12 @@ def _build_model(args):
         from stark_tpu.models.fibonacci import FibonacciStark
 
         return FibonacciStark(args.steps, **common)
+    if args.model == "mimc":
+        from stark_tpu.field import FieldElement
+        from stark_tpu.models.mimc import DEFAULT_KEY, MimcStark
+
+        key = FieldElement(int(args.key, 0)) if args.key is not None else DEFAULT_KEY
+        return MimcStark(args.steps, key=key, **common)
     from stark_tpu.models.rescue_stark import RescueStark
 
     return RescueStark(**common)
@@ -50,16 +58,19 @@ def main(argv=None) -> int:
 
     def add_common(p):
         p.add_argument(
-            "--model", choices=["rescue", "fibonacci"], default="rescue",
-            help="model family: Rescue-Prime hash preimage (default) or "
-            "Fibonacci sequence",
+            "--model", choices=["rescue", "fibonacci", "mimc"], default="rescue",
+            help="model family: Rescue-Prime hash preimage (default), "
+            "Fibonacci sequence, or MiMC cubing chain x -> x^3 + k",
         )
         p.add_argument("--steps", type=int, default=None,
-                       help="trace steps (fibonacci model only; default 4096)")
+                       help="trace steps (fibonacci/mimc models; default 4096)")
         p.add_argument("--seed-a", default=None,
                        help="first sequence seed (fibonacci model only; default 1)")
         p.add_argument("--seed-b", default=None,
                        help="second sequence seed (fibonacci model only; default 1)")
+        p.add_argument("--key", default=None,
+                       help="round key field element (mimc model only; "
+                       "default: a fixed nothing-up-my-sleeve constant)")
         p.add_argument("--expansion-factor", type=int, default=4)
         p.add_argument("--num-colinearity-tests", type=int, default=2)
         p.add_argument("--security-level", type=int, default=2)
@@ -80,6 +91,8 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True,
                    help="claimed hash output / sequence result (int)")
     p.add_argument("--proof", required=True, help="proof file")
+    p.add_argument("--input", default=None,
+                   help="public chain seed (mimc model only)")
     add_common(p)
 
     p = sub.add_parser("hash", help="compute a Rescue-Prime hash")
@@ -162,17 +175,19 @@ def main(argv=None) -> int:
         return 0
 
     fib = args.model == "fibonacci"
+    mimc = args.model == "mimc"
     # reject cross-model arguments: silently ignoring them would let a
     # user "prove" a different statement than they asked for
-    if fib and getattr(args, "input", None) is not None:
-        parser.error("--input belongs to the rescue model; the fibonacci "
-                     "model takes --seed-a/--seed-b")
-    if not fib:
-        for name, val in (("--steps", args.steps),
-                          ("--seed-a", args.seed_a),
-                          ("--seed-b", args.seed_b)):
-            if val is not None:
-                parser.error(f"{name} is only valid with --model fibonacci")
+    allowed = {
+        "rescue": {"input"},
+        "fibonacci": {"steps", "seed_a", "seed_b"},
+        "mimc": {"steps", "input", "key"},
+    }[args.model]
+    for flag, attr in (("--input", "input"), ("--steps", "steps"),
+                       ("--seed-a", "seed_a"), ("--seed-b", "seed_b"),
+                       ("--key", "key")):
+        if getattr(args, attr, None) is not None and attr not in allowed:
+            parser.error(f"{flag} is not valid with --model {args.model}")
     if args.steps is None:
         args.steps = 4096
     model = _build_model(args)
@@ -188,7 +203,9 @@ def main(argv=None) -> int:
             output, proof = model.prove(*seeds)
         else:
             if args.input is None:
-                parser.error("--input is required for the rescue model")
+                what = "the chain seed" if mimc else "the hash preimage"
+                parser.error(f"--input ({what}) is required for the "
+                             f"{args.model} model")
             output, proof = model.prove(parse_element(args.input, "--input"))
         dt = time.perf_counter() - t0
         with open(args.out, "wb") as f:
@@ -212,7 +229,16 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         if fib:
             ok = model.verify(*seeds, claimed, proof)
+        elif mimc:
+            if args.input is None:
+                parser.error("--input (the chain seed) is required to "
+                             "verify a mimc proof")
+            ok = model.verify(parse_element(args.input, "--input"),
+                              claimed, proof)
         else:
+            if args.input is not None:
+                parser.error("rescue verify takes no --input: the statement "
+                             "is the hash output alone")
             ok = model.verify(claimed, proof)
         dt = time.perf_counter() - t0
         print(json.dumps({"valid": bool(ok), "verify_seconds": round(dt, 3)}))

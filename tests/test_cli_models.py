@@ -107,3 +107,49 @@ def test_cli_fibonacci_prove_verify(tmp_path):
         "verify", "--model", "fibonacci", "--steps", "60",
         "--output", "999", "--proof", proof_file,
     ]) == 1
+
+
+def test_cli_mimc_prove_verify(tmp_path):
+    """The mimc model family is reachable from the CLI: prove a cubing
+    chain, verify the honest result, reject a wrong result and a wrong
+    seed, and reject cross-model arguments."""
+    import json
+
+    import pytest
+
+    from stark_tpu.cli import main
+    from stark_tpu.field import FieldElement
+    from stark_tpu.models.mimc import MimcAir
+
+    proof_file = str(tmp_path / "mimc.bin")
+    rc = main([
+        "prove", "--model", "mimc", "--steps", "48", "--input", "3",
+        "--out", proof_file, "--seed", "11",
+    ])
+    assert rc == 0
+    result = MimcAir(48).result(FieldElement(3))
+    good = ["verify", "--model", "mimc", "--steps", "48", "--input", "3",
+            "--output", str(result.value), "--proof", proof_file]
+    assert main(good) == 0
+    assert main([
+        "verify", "--model", "mimc", "--steps", "48", "--input", "3",
+        "--output", "999", "--proof", proof_file,
+    ]) == 1
+    # a different seed is a different statement
+    assert main([
+        "verify", "--model", "mimc", "--steps", "48", "--input", "4",
+        "--output", str(result.value), "--proof", proof_file,
+    ]) == 1
+    # a different key is a different statement
+    assert main(good + ["--key", "17"]) == 1
+    # cross-model arguments are rejected, not ignored
+    with pytest.raises(SystemExit):
+        main([
+            "prove", "--model", "mimc", "--steps", "4", "--input", "3",
+            "--seed-a", "1", "--out", proof_file,
+        ])
+    with pytest.raises(SystemExit):
+        main([
+            "prove", "--model", "rescue", "--key", "17", "--input", "3",
+            "--out", proof_file,
+        ])
