@@ -72,3 +72,22 @@ def test_mimc_tampered_trace_detected():
     boundary = air.boundary_constraints(seed, trace[-1][0])
     with pytest.raises(ValueError, match="degree"):
         model.stark.prove(trace, model._constraints, boundary)
+
+
+def test_mimc_device_pipeline_transcript_identical():
+    """The device-resident prover has never seen a single-register model:
+    force it at a 512-point FRI domain and require a byte-identical
+    transcript vs the host pipeline."""
+    from stark_tpu.ops.backend import JaxBackend
+
+    backend = JaxBackend()
+    backend.device_prover_min = 512
+    seed = FieldElement(777)
+    host = MimcStark(30, rng=DeterministicRandom(8))
+    dev = MimcStark(30, backend=backend, rng=DeterministicRandom(8))
+    assert dev.stark._use_device_pipeline()
+    out_h, proof_h = host.prove(seed)
+    out_d, proof_d = dev.prove(seed)
+    assert out_h == out_d
+    assert proof_h == proof_d
+    assert dev.verify(seed, out_d, proof_d)
