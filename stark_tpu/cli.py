@@ -190,6 +190,10 @@ def main(argv=None) -> int:
             parser.error(f"{flag} is not valid with --model {args.model}")
     if args.steps is None:
         args.steps = 4096
+    if mimc and args.key is not None:
+        # normalize to a canonical decimal string (clean parser error on
+        # garbage instead of a traceback out of _build_model)
+        args.key = str(parse_element(args.key, "--key").value)
     model = _build_model(args)
     if fib:
         seeds = (
