@@ -40,6 +40,7 @@ __all__ = [
     "os_random_bytes",
     "RescueStark",
     "FibonacciStark",
+    "MimcStark",
     "JaxBackend",
 ]
 
@@ -55,6 +56,10 @@ def __getattr__(name):
         from .models.fibonacci import FibonacciStark
 
         return FibonacciStark
+    if name == "MimcStark":
+        from .models.mimc import MimcStark
+
+        return MimcStark
     if name == "JaxBackend":
         from .ops.backend import JaxBackend
 
