@@ -209,15 +209,30 @@ def _bench_batch_throughput(n=32):
 
 def main():
     t_start = time.time()
+
+    def mark(stage):
+        # stderr progress markers: the driver parses stdout's single JSON
+        # line only; these make a timed-out cold-compile run diagnosable
+        print(f"[bench +{time.time() - t_start:7.1f}s] {stage}",
+              file=sys.stderr, flush=True)
+
+    mark("prove (small config)")
     prove_s, verify_s, proof_bytes = _bench_prove()
+    mark("batch throughput")
     proofs_per_s = _bench_batch_throughput()
+    mark("pallas/xla parity check")
     parity_ok = _ntt_parity_check()  # must pass before any NTT timing
+    mark("ntt timing")
     ntt_throughput, ntt_s = _bench_ntt()
+    mark("rescue timing")
     rescue_throughput = _bench_rescue()
+    mark("fold timing")
     fold_throughput = _bench_fold()
+    mark("fibonacci 2^16 prove")
     fib_prove_s, fib_verify_s, fib_domain, fib_stages = (
         _bench_fibonacci_large()
     )
+    mark("done")
 
     baseline_prove_s = 12.0  # reference CLAUDE.md:115 prose claim
     result = {
