@@ -154,21 +154,67 @@ def _bench_ntt(logn=20, iters=10):
     return n / dt, dt
 
 
-def _bench_fibonacci_large(log_steps=None):
-    """TPU-scale proving: Fibonacci at 2^log_steps steps -> 2^(log_steps+4)
-    FRI domain (2^20 for 16), device-resident prover.  Returns
-    (prove_s, verify_s, fri_domain, stage breakdown dict)."""
-    from stark_tpu.field import FieldElement
+def _fib_model():
     from stark_tpu.models.fibonacci import FibonacciStark
     from stark_tpu.ops.backend import JaxBackend
     from stark_tpu.rng import DeterministicRandom
 
-    if log_steps is None:
-        log_steps = int(os.environ.get("STARK_TPU_BENCH_FIB_LOG", "16"))
-    steps = 1 << log_steps
-    model = FibonacciStark(
-        steps, backend=JaxBackend(), rng=DeterministicRandom(7)
+    log_steps = int(os.environ.get("STARK_TPU_BENCH_FIB_LOG", "16"))
+    return FibonacciStark(
+        1 << log_steps, backend=JaxBackend(), rng=DeterministicRandom(7)
     )
+
+
+def _precompile_all(model, logns=(16, 20), threads=8):
+    """Warm EVERY big module the remaining stages will touch, on one
+    thread pool: the remote compile service parallelizes across client
+    threads almost perfectly (~3x measured), so this turns ~25 serial
+    60-100 s compiles into a few pool waves.  On a warm persistent cache
+    each job degrades to a fast disk load — safe either way."""
+    import jax.numpy as jnp
+
+    from stark_tpu.ops.ntt import get_plan
+    from stark_tpu.ops.pallas_ntt import get_pallas_plan
+    from stark_tpu.ops.precompile import parallel_warm, stark_precompile_jobs
+    from stark_tpu.params import GENERATOR
+
+    jobs = []
+    for logn in logns:
+        n = 1 << logn
+        z = jnp.zeros((8, n), jnp.uint32)
+        for tag, plan in (("xla", get_plan(n)), ("pallas", get_pallas_plan(n))):
+            jobs.append((f"{tag}{logn}_fwd", lambda p=plan, z=z: p.forward(z)))
+            jobs.append(
+                (f"{tag}{logn}_coset",
+                 lambda p=plan, z=z: p.coset_forward(z, GENERATOR))
+            )
+            jobs.append((f"{tag}{logn}_inv", lambda p=plan, z=z: p.inverse(z)))
+
+    def rescue_job():
+        from stark_tpu.ops import rescue as rescue_ops
+
+        return rescue_ops.permutation_mont(
+            jnp.zeros((8, 2, 4096), jnp.uint32)
+        )
+
+    jobs.append(("rescue", rescue_job))
+
+    phase1, phase2 = stark_precompile_jobs(
+        model.stark, model._constraints, model.air.trace_length
+    )
+    t = parallel_warm(jobs + phase1, threads)
+    t.update(parallel_warm(phase2, threads))
+    slow = {k: v for k, v in sorted(t.items(), key=lambda kv: -kv[1])[:8]}
+    mark(f"precompile timings (top): {slow}")
+    return t
+
+
+def _bench_fibonacci_large(model):
+    """TPU-scale proving: Fibonacci at 2^16 steps -> 2^20 FRI domain,
+    device-resident prover.  Returns (prove_s, verify_s, fri_domain,
+    stage breakdown dict)."""
+    from stark_tpu.field import FieldElement
+
     a, b = FieldElement(1), FieldElement(1)
     assert model.stark._use_device_pipeline()
     r0, p0 = model.prove(a, b)  # warm-up: compile everything once
@@ -261,6 +307,8 @@ def _worker(result, extra, headline_done):
             extra.setdefault("stage_errors", {})[name] = msg[:300]
             mark(f"{name} FAILED: {msg[:120]}")
 
+    state = {"fib_model": None}
+
     def s_prove():
         prove_s, verify_s, proof_bytes = _bench_prove()
         result["value"] = round(prove_s, 4)
@@ -268,6 +316,10 @@ def _worker(result, extra, headline_done):
         extra["verify_s"] = round(verify_s, 4)
         extra["proof_bytes"] = proof_bytes
         headline_done.set()
+
+    def s_precompile():
+        state["fib_model"] = _fib_model()
+        _precompile_all(state["fib_model"])
 
     def s_batch():
         extra["stark_proofs_per_s_single_process"] = round(
@@ -288,8 +340,9 @@ def _worker(result, extra, headline_done):
         extra["fri_fold_2e20_elems_per_s"] = round(_bench_fold())
 
     def s_fib():
+        model = state["fib_model"] or _fib_model()
         fib_prove_s, fib_verify_s, fib_domain, fib_stages = (
-            _bench_fibonacci_large()
+            _bench_fibonacci_large(model)
         )
         extra["fibonacci_2e16_steps_prove_s"] = round(fib_prove_s, 3)
         extra["fibonacci_2e16_steps_verify_s"] = round(fib_verify_s, 3)
@@ -298,6 +351,7 @@ def _worker(result, extra, headline_done):
 
     stage("prove (small config)", s_prove)
     stage("batch throughput", s_batch)
+    stage("parallel precompile", s_precompile)
     stage("pallas/xla parity check", s_parity)
     if "pallas_vs_xla_bit_equal_2e16_2e20" in extra:
         stage("ntt timing", s_ntt)  # only time what the gate just pinned

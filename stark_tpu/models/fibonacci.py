@@ -99,6 +99,11 @@ class FibonacciStark:
         )
         self._constraints = self.air.transition_constraints()
 
+    def precompile(self, threads: int = 6):
+        """Concurrent ahead-of-time compile of the device prover's
+        modules (see :meth:`stark_tpu.stark.Stark.precompile`)."""
+        return self.stark.precompile(self._constraints, threads=threads)
+
     def prove(
         self, seed_a: FieldElement, seed_b: FieldElement
     ) -> Tuple[FieldElement, bytes]:

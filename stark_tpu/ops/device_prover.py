@@ -255,28 +255,32 @@ def pad_rows(arr: jnp.ndarray, rows: int) -> jnp.ndarray:
     )
 
 
-def degree_probe_with(core, restrict_iszero_raw, stack: jnp.ndarray) -> List[int]:
+def degree_probe_with(
+    core, restrict_iszero_raw, stack: jnp.ndarray, tabs=None
+) -> List[int]:
     """Shared degree-probe implementation (natural and sharded cores):
     jit one function that restricts each stacked codeword to coefficients
     and reduces max(index of nonzero) on the device.  The reshape(-1)
     makes the four-step (8, R, C) layout's row-major flattening equal the
-    natural coefficient index j = j1*C + j2."""
+    natural coefficient index j = j1*C + j2.  ``restrict_iszero_raw``
+    takes (codeword, tabs); ``tabs`` carries the inverse-NTT tables as
+    jit arguments (None for cores whose restrict needs none)."""
     k = int(stack.shape[0])
     key = ("degree_probe", k, stack.shape)
     cache = core._comb_cache
     fn = cache.get(key)
     if fn is None:
 
-        def run(st):
+        def run(st, t):
             outs = []
             for i in range(k):
-                z = restrict_iszero_raw(st[i]).reshape(-1)
+                z = restrict_iszero_raw(st[i], t).reshape(-1)
                 idx = jax.lax.iota(jnp.int32, z.shape[0])
                 outs.append(jnp.max(jnp.where(z, 0, idx)))
             return jnp.stack(outs)
 
         fn = cache[key] = jax.jit(run)
-    return [int(d) for d in np.asarray(jax.device_get(fn(stack)))]
+    return [int(d) for d in np.asarray(jax.device_get(fn(stack, tabs)))]
 
 
 # ---------------------------------------------------------------------------
@@ -298,23 +302,28 @@ class DeviceProverCore:
         # ONE compiled extend / restrict for every coefficient length
         # (host-side zero-pad to n): every distinct jit would re-compile
         # the full NTT graph, which is expensive on XLA:CPU and through
-        # the TPU tunnel's cold path
+        # the TPU tunnel's cold path.  NTT twiddle tables are threaded as
+        # ARGUMENTS (plan.op_tables / plan.apply) so they are operands of
+        # the compiled modules, not ~32 MB embedded constants (which made
+        # every extend executable ~90 MB serialized).
         plan, offset_v = self.plan, self.offset
+        self._fwd_tabs = plan.op_tables(False, offset_v)
+        self._inv_tabs = plan.op_tables(True, offset_v)
 
-        def ext(a):  # (8, n) plain packed
-            return plan.coset_forward(fo.to_mont(a), offset_v)
+        def ext(a, t):  # (8, n) plain packed
+            return plan.apply(fo.to_mont(a), t, False)
 
-        def restrict_iszero(cw):  # (8, n) Montgomery codeword
-            coeffs = plan.coset_inverse(cw, offset_v)
+        def restrict_iszero(cw, t):  # (8, n) Montgomery codeword
+            coeffs = plan.apply(cw, t, True)
             return fo.is_zero(coeffs)
 
-        def ext_mont(a):  # (8, m) Montgomery coefficients, m <= n
+        def ext_mont(a, t):  # (8, m) Montgomery coefficients, m <= n
             m = a.shape[1]
             if m < n:
                 a = jnp.concatenate(
                     [a, jnp.zeros((NUM_LIMBS, n - m), jnp.uint32)], axis=1
                 )
-            return plan.coset_forward(a, offset_v)
+            return plan.apply(a, t, False)
 
         self._ext_jit = jax.jit(ext)
         self._ext_mont_jit = jax.jit(ext_mont)
@@ -348,7 +357,7 @@ class DeviceProverCore:
                 ],
                 axis=1,
             )
-        return self._ext_jit(dev)
+        return self._ext_jit(dev, self._fwd_tabs)
 
     def extend_mont(self, coeffs_mont: jnp.ndarray) -> jnp.ndarray:
         """Device-resident Montgomery coefficient array (8, m) -> (8, n)
@@ -356,7 +365,7 @@ class DeviceProverCore:
         lived on the host (device trace interpolation)."""
         if coeffs_mont.shape[1] > self.n:
             raise ValueError("coefficient vector longer than the domain")
-        return self._ext_mont_jit(coeffs_mont)
+        return self._ext_mont_jit(coeffs_mont, self._fwd_tabs)
 
     def extend_codeword(self, coeffs: Sequence[int]) -> DeviceCodeword:
         return DeviceCodeword(self.extend(coeffs), self)
@@ -364,7 +373,9 @@ class DeviceProverCore:
     def restrict_iszero(self, cw_mont: jnp.ndarray) -> np.ndarray:
         """Codeword -> is-zero bitmap of its coefficient vector (the degree
         probe; the coefficients themselves never leave the device)."""
-        return np.asarray(jax.device_get(self._restrict_iszero_jit(cw_mont)))
+        return np.asarray(
+            jax.device_get(self._restrict_iszero_jit(cw_mont, self._inv_tabs))
+        )
 
     def degree_probe(self, stack: jnp.ndarray) -> List[int]:
         """Degrees of a (k, 8, n) stack of codewords in ONE dispatch and a
@@ -372,7 +383,9 @@ class DeviceProverCore:
         on the device (zero polynomial -> 0, the host quirk) — instead of
         fetching k full n-bit bitmaps (1 MB each at 2^20) over the
         ~10 MB/s tunnel."""
-        return degree_probe_with(self, self._restrict_iszero_raw, stack)
+        return degree_probe_with(
+            self, self._restrict_iszero_raw, stack, self._inv_tabs
+        )
 
     def to_digits(self, mont: jnp.ndarray) -> np.ndarray:
         """Layout hook for :class:`DeviceCodeword` (natural (8, n) here)."""
@@ -453,44 +466,7 @@ class DeviceProverCore:
         folded codeword after the last fused round.  Byte-identity of
         the resulting transcript with the unfused path is pinned by
         tests/test_device_fs.py."""
-        from .device_fs import alpha_mont_from_fs, hex_words
-        from .device_keccak import shake256_words
-        from .device_merkle import tree_arrays_with_root
-
         n0 = int(mont.shape[1])
-        len64 = (64).to_bytes(8, "little")
-
-        # one jitted executable PER ROUND (cached per shape/count), not one
-        # for the whole cascade: the per-round module is exactly the size
-        # of the already-proven single-tree compile, while fusing all
-        # rounds would stack ~8 unrolled Blake2b trees into one ~300k-op
-        # module (a remote-compile risk).  The host loop below enqueues
-        # the rounds back-to-back WITHOUT any device fetch, so the commit
-        # critical path still crosses the tunnel exactly once (the stacked
-        # root fetch done by the caller).
-        def round_fn(n_r: int, body_len: int, count_r: int):
-            key = ("fri_cascade_round", n_r, body_len, count_r)
-            fn = self._comb_cache.get(key)
-            if fn is None:
-                count_arr = jnp.asarray(
-                    np.frombuffer(
-                        count_r.to_bytes(8, "little"), dtype=np.uint8
-                    )
-                )
-                len64_arr = jnp.asarray(
-                    np.frombuffer(len64, dtype=np.uint8)
-                )
-
-                def run(cur, body, table):
-                    levels, root = tree_arrays_with_root(cur, n_r)
-                    body = jnp.concatenate([body, len64_arr, hex_words(root)])
-                    fs = shake256_words(jnp.concatenate([count_arr, body]))
-                    alpha = alpha_mont_from_fs(fs)
-                    return levels, root, body, fold_mont(cur, alpha, table)
-
-                fn = self._comb_cache[key] = jax.jit(run)
-            return fn
-
         body = jnp.asarray(np.frombuffer(prefix_body, dtype=np.uint8))
         cur = mont
         o, w = offset % P, omega % P
@@ -498,7 +474,9 @@ class DeviceProverCore:
         roots = []
         for r in range(rounds):
             n_r = n0 >> r
-            fn = round_fn(n_r, int(body.shape[0]), count0 + r + 1)
+            fn = self._cascade_round_fn(
+                n_r, int(body.shape[0]), count0 + r + 1
+            )
             table = self._inv_table(o, w, n_r // 2)
             levels, root, body, nxt = fn(cur, body, table)
             per_round.append((cur, levels))
@@ -506,6 +484,44 @@ class DeviceProverCore:
             cur = nxt
             o, w = o * o % P, w * w % P
         return tuple(per_round), jnp.stack(roots), cur
+
+    def _cascade_round_fn(self, n_r: int, body_len: int, count_r: int):
+        """One jitted executable PER ROUND (cached per shape/count), not
+        one for the whole cascade: the per-round module is exactly the
+        size of the already-proven single-tree compile, while fusing all
+        rounds would stack ~8 unrolled Blake2b trees into one ~300k-op
+        module (a remote-compile risk).  fri_cascade's host loop enqueues
+        the rounds back-to-back WITHOUT any device fetch, so the commit
+        critical path still crosses the tunnel exactly once (the stacked
+        root fetch done by the caller).  Exposed as a method so
+        :mod:`stark_tpu.ops.precompile` can compile every round's module
+        CONCURRENTLY ahead of the first prove (the remote compile service
+        parallelizes across threads almost perfectly)."""
+        from .device_fs import alpha_mont_from_fs, hex_words
+        from .device_keccak import shake256_words
+        from .device_merkle import tree_arrays_with_root
+
+        key = ("fri_cascade_round", n_r, body_len, count_r)
+        fn = self._comb_cache.get(key)
+        if fn is None:
+            count_arr = jnp.asarray(
+                np.frombuffer(
+                    count_r.to_bytes(8, "little"), dtype=np.uint8
+                )
+            )
+            len64_arr = jnp.asarray(
+                np.frombuffer((64).to_bytes(8, "little"), dtype=np.uint8)
+            )
+
+            def run(cur, body, table):
+                levels, root = tree_arrays_with_root(cur, n_r)
+                body = jnp.concatenate([body, len64_arr, hex_words(root)])
+                fs = shake256_words(jnp.concatenate([count_arr, body]))
+                alpha = alpha_mont_from_fs(fs)
+                return levels, root, body, fold_mont(cur, alpha, table)
+
+            fn = self._comb_cache[key] = jax.jit(run)
+        return fn
 
     # -- x^shift columns ---------------------------------------------------
 

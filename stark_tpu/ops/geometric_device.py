@@ -78,21 +78,40 @@ def _product_plan(total_len: int):
 
 
 def device_poly_product(
-    a: jnp.ndarray, b: jnp.ndarray, out_len: int
+    a: jnp.ndarray, b: jnp.ndarray, out_len: int, tabs=None
 ) -> jnp.ndarray:
     """NTT product of two (8, la)/(8, lb) Montgomery coefficient arrays,
-    truncated to out_len coefficients — no host round trip."""
+    truncated to out_len coefficients — no host round trip.
+
+    ``tabs`` = (forward_tables, inverse_tables) from the product plan's
+    ``op_tables`` — REQUIRED when tracing inside an outer jit, so the
+    twiddle tables ride in as arguments instead of ~MB module constants;
+    None (eager/top-level use) routes through the plan's own jits."""
     la, lb = a.shape[1], b.shape[1]
     n, plan = _product_plan(la + lb - 1)
     pad_a = jnp.zeros((NUM_LIMBS, n - la), dtype=jnp.uint32)
     pad_b = jnp.zeros((NUM_LIMBS, n - lb), dtype=jnp.uint32)
-    fa = plan.forward(jnp.concatenate([a, pad_a], axis=1))
-    fb = plan.forward(jnp.concatenate([b, pad_b], axis=1))
-    return plan.inverse(fo.mont_mul(fa, fb))[:, :out_len]
+    ca = jnp.concatenate([a, pad_a], axis=1)
+    cb = jnp.concatenate([b, pad_b], axis=1)
+    if tabs is None:
+        fa = plan.forward(ca)
+        fb = plan.forward(cb)
+        return plan.inverse(fo.mont_mul(fa, fb))[:, :out_len]
+    fwd_t, inv_t = tabs
+    fa = plan.apply(ca, fwd_t, False)
+    fb = plan.apply(cb, fwd_t, False)
+    return plan.apply(fo.mont_mul(fa, fb), inv_t, True)[:, :out_len]
+
+
+def product_tabs(total_len: int):
+    """(forward, inverse) op_tables of the plan device_poly_product will
+    pick for ``total_len`` — build OUTSIDE a trace, pass through the jit."""
+    _, plan = _product_plan(total_len)
+    return (plan.op_tables(False), plan.op_tables(True))
 
 
 def device_chirp_eval(
-    coeffs: jnp.ndarray, q: int, m: int
+    coeffs: jnp.ndarray, q: int, m: int, tabs=None
 ) -> jnp.ndarray:
     """[p(q^t) for t < m] of an (8, n) Montgomery coefficient array
     (same correlation as geometric._chirp_eval)."""
@@ -100,7 +119,7 @@ def device_chirp_eval(
     q_inv = pow(q, -1, P)
     f = fo.mont_mul(coeffs, chirp_table(q_inv, n))
     g = chirp_table(q, n + m - 1)
-    conv = device_poly_product(f[:, ::-1], g, n - 1 + m)
+    conv = device_poly_product(f[:, ::-1], g, n - 1 + m, tabs)
     return fo.mont_mul(conv[:, n - 1 : n - 1 + m], chirp_table(q_inv, m))
 
 
@@ -134,11 +153,15 @@ def _interp_jit(n: int, start: int, q: int):
     host-orchestrated version issued ~80 separate device dispatches per
     trace register (every prefix-product round, table build and NTT pass
     its own call, each paying per-dispatch tunnel overhead)."""
-    # build the product plans OUTSIDE the trace (plan construction
-    # materializes twiddle tables host-side, which a tracer cannot)
-    _product_plan(n + (n + n - 1) - 1)  # chirp-eval convolution
-    _product_plan((n + 1) + n - 1)  # numerator combine
-    return jax.jit(lambda ys: _interpolate_body(ys, start, q))
+    # build the product plans + table pytrees OUTSIDE the trace (plan
+    # construction materializes twiddle tables host-side, which a tracer
+    # cannot) and thread the tables through the jit as arguments
+    chirp_tabs = product_tabs(n + (n + n - 1) - 1)  # chirp-eval convolution
+    comb_tabs = product_tabs((n + 1) + n - 1)  # numerator combine
+    fn = jax.jit(
+        lambda ys, t1, t2: _interpolate_body(ys, start, q, t1, t2)
+    )
+    return lambda ys: fn(ys, chirp_tabs, comb_tabs)
 
 
 def _fuse_interp() -> bool:
@@ -170,7 +193,9 @@ def device_geometric_interpolate(
     return _interpolate_body(ys, start % P, q % P)
 
 
-def _interpolate_body(ys: jnp.ndarray, start: int, q: int) -> jnp.ndarray:
+def _interpolate_body(
+    ys: jnp.ndarray, start: int, q: int, chirp_tabs=None, comb_tabs=None
+) -> jnp.ndarray:
     n = ys.shape[1]
     q_inv = pow(q, -1, P)
 
@@ -196,7 +221,7 @@ def _interpolate_body(ys: jnp.ndarray, start: int, q: int) -> jnp.ndarray:
     u = fo.mont_mul(ys, fo.mont_inv(d))
 
     # h_t = sum_i u_i q^{it}
-    h = device_chirp_eval(u, q, n)
+    h = device_chirp_eval(u, q, n, chirp_tabs)
 
     # vanishing polynomial Z via q-binomials:
     # z[k] = (-1)^(n-k) q^{T(n-k)} fact[n] / (fact[k] fact[n-k])
@@ -210,7 +235,7 @@ def _interpolate_body(ys: jnp.ndarray, start: int, q: int) -> jnp.ndarray:
     z = _signed(z, ((n - kidx) & 1) == 1)
 
     # numerator combine: N_d = sum_t Z_{d+1+t} h_t
-    conv = device_poly_product(z, h[:, ::-1], 2 * n)
+    conv = device_poly_product(z, h[:, ::-1], 2 * n, comb_tabs)
     g_coeffs = conv[:, n : 2 * n]
 
     if start != 1:

@@ -14,8 +14,18 @@ batched mont_mul + add/sub over the halves, so the whole transform is
 ~log2(n) fused elementwise kernels on the VPU; twiddle tables are
 precomputed host-side in Montgomery form and cached on device.
 
-All plans are cached per (n); jitted transforms are cached per shape, so
-steady-state calls are dispatch-only.
+Twiddle tables are THREADED AS ARGUMENTS into the jitted transforms
+(``op_tables`` / ``apply``), not closed over: a closure constant is baked
+into the compiled module as a literal, which at 2^20 put ~32 MB of table
+bytes into every executable — ~100 MB serialized modules that took
+minutes to compile (and to move through this machine's remote-compile
+tunnel) and filled the persistent cache with 90 MB entries.  As
+arguments they are device-resident operands; modules shrink ~20x with
+bit-identical outputs.
+
+All plans are cached per (n); jitted transforms are cached per
+(direction, coset?) structure — the offset only changes table VALUES, so
+different offsets share one executable.
 """
 
 from __future__ import annotations
@@ -79,51 +89,93 @@ class NTTPlan:
                 jnp.asarray(_mont_pack(_power_table(w_i, length // 2)))
             )
             length *= 2
+        self.twiddles_fwd = tuple(self.twiddles_fwd)
+        self.twiddles_inv = tuple(self.twiddles_inv)
 
         n_inv = pow(n, -1, P)
         self.n_inv_mont = jnp.asarray(_mont_pack([n_inv]))  # (8, 1)
 
-        # periodic twiddle tables for the fixed-shape (roll) formulation:
-        # stage s has period 2^(s+1) = [1]*half + [w^0..w^(half-1)]
-        self.twiddle_periods_fwd = []
-        self.twiddle_periods_inv = []
-        length = 2
-        s = 0
-        while length <= n:
-            half = length // 2
-            for tables, out in (
-                (self.twiddles_fwd, self.twiddle_periods_fwd),
-                (self.twiddles_inv, self.twiddle_periods_inv),
-            ):
-                tw = np.asarray(tables[s])  # (8, half) Montgomery
-                period = np.concatenate(
-                    [np.tile(_mont_pack([1]), (1, half)), tw], axis=1
-                )
-                out.append(jnp.asarray(period))  # (8, length)
-            length *= 2
-            s += 1
-
         import os
 
         self.variant = os.environ.get("STARK_TPU_NTT_VARIANT", "reshape")
-        self._forward_jit = jax.jit(lambda a: self._transform_any(a, False))
-        self._inverse_jit = jax.jit(lambda a: self._transform_any(a, True))
+        self._periods = None  # lazy: only the "roll" variant needs them
+        self._jit_cache = {}
 
-    def _transform_any(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    # -- table plumbing ---------------------------------------------------
+
+    def _period_tables(self):
+        """Periodic twiddle tables for the fixed-shape (roll) formulation:
+        stage s has period 2^(s+1) = [1]*half + [w^0..w^(half-1)].  Built
+        lazily — they double the table memory and only the roll variant
+        reads them."""
+        if self._periods is None:
+            fwd, inv = [], []
+            length = 2
+            s = 0
+            while length <= self.n:
+                half = length // 2
+                for tables, out in (
+                    (self.twiddles_fwd, fwd),
+                    (self.twiddles_inv, inv),
+                ):
+                    tw = np.asarray(tables[s])  # (8, half) Montgomery
+                    period = np.concatenate(
+                        [np.tile(_mont_pack([1]), (1, half)), tw], axis=1
+                    )
+                    out.append(jnp.asarray(period))  # (8, length)
+                length *= 2
+                s += 1
+            self._periods = (tuple(fwd), tuple(inv))
+        return self._periods
+
+    def op_tables(self, inverse: bool, offset: int = 1):
+        """Concrete device-array pytree for one transform: everything
+        :meth:`apply` reads.  Thread this through any enclosing ``jit``
+        as an ARGUMENT to keep table bytes out of the compiled module."""
         if self.variant == "roll":
-            return self._transform_roll(a, inverse)
-        return self._transform(a, inverse)
+            tws = self._period_tables()[1 if inverse else 0]
+        else:
+            tws = self.twiddles_inv if inverse else self.twiddles_fwd
+        if offset % P == 1:
+            return (tws, None)
+        if inverse:
+            off = self._offset_tables(offset)[1]
+        else:
+            off = self._offset_tables(offset)[0]
+        return (tws, off)
 
-    def _transform_roll(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    def apply(self, a: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
+        """Traceable transform along the LAST axis of an (8, *batch, n)
+        Montgomery array, reading ONLY ``tables`` (from :meth:`op_tables`
+        — possibly threaded through an outer jit)."""
+        tws, off = tables
+        if off is not None and not inverse:
+            a = fo.mont_mul(a, self._bshape(off, a))
+        if self.variant == "roll":
+            x = self._transform_roll(a, tws, inverse)
+        else:
+            x = self._transform(a, tws, inverse)
+        if off is not None and inverse:
+            x = fo.mont_mul(x, self._bshape(off, x))
+        return x
+
+    def _jitted(self, inverse: bool):
+        fn = self._jit_cache.get(inverse)
+        if fn is None:
+            fn = self._jit_cache[inverse] = jax.jit(
+                lambda a, t: self.apply(a, t, inverse)
+            )
+        return fn
+
+    # -- core ------------------------------------------------------------
+
+    def _transform_roll(self, a: jnp.ndarray, periods, inverse: bool):
         """Fixed-shape NTT: every stage operates on the full (8, *, n) array
         with static rolls and bitmask selects instead of reshapes, avoiding
         per-stage layout retiling on TPU.  2x redundant multiplies, but no
         data movement between tilings."""
         n = self.n
         x = a[..., self.bitrev]
-        periods = (
-            self.twiddle_periods_inv if inverse else self.twiddle_periods_fwd
-        )
         idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)
         length = 2
         s = 0
@@ -148,14 +200,11 @@ class NTTPlan:
             x = fo.mont_mul(x, scale)
         return x
 
-    # -- core ------------------------------------------------------------
-
-    def _transform(self, a: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    def _transform(self, a: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
         """NTT along the LAST axis of an (8, *batch, n) Montgomery array."""
         n = self.n
         x = a[..., self.bitrev]
         lead = x.shape[:-1]  # (8, *batch)
-        tables = self.twiddles_inv if inverse else self.twiddles_fwd
         length = 2
         s = 0
         while length <= n:
@@ -178,21 +227,21 @@ class NTTPlan:
 
     def forward(self, a: jnp.ndarray) -> jnp.ndarray:
         """(8, n) Montgomery coefficients -> evaluations at {omega^i}."""
-        return self._forward_jit(a)
+        return self._jitted(False)(a, self.op_tables(False))
 
     def inverse(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Evaluations at {omega^i} -> Montgomery coefficients."""
-        return self._inverse_jit(evals)
+        return self._jitted(True)(evals, self.op_tables(True))
 
-    # coset scaling tables are cached per offset — as NUMPY: this method is
-    # reached from inside other jits (the device prover's fused pipeline),
-    # and caching jnp arrays created mid-trace leaks tracers
+    # coset scaling tables are cached per offset — as device arrays built
+    # from host numpy exactly once per (plan, offset)
     @lru_cache(maxsize=16)
     def _offset_tables_np(self, offset: int):
         fwd = _mont_pack(_power_table(offset % P, self.n))
         inv = _mont_pack(_power_table(pow(offset, -1, P), self.n))
         return fwd, inv
 
+    @lru_cache(maxsize=16)
     def _offset_tables(self, offset: int):
         fwd, inv = self._offset_tables_np(offset)
         return jnp.asarray(fwd), jnp.asarray(inv)
@@ -205,13 +254,14 @@ class NTTPlan:
 
     def coset_forward(self, a: jnp.ndarray, offset: int) -> jnp.ndarray:
         """Evaluate over {offset * omega^i}: scale coeff j by offset^j, NTT."""
-        fwd, _ = self._offset_tables(offset)
-        return self._forward_jit(fo.mont_mul(a, self._bshape(fwd, a)))
+        if offset % P == 1:
+            return self.forward(a)
+        return self._jitted(False)(a, self.op_tables(False, offset))
 
     def coset_inverse(self, evals: jnp.ndarray, offset: int) -> jnp.ndarray:
-        _, inv = self._offset_tables(offset)
-        out = self._inverse_jit(evals)
-        return fo.mont_mul(out, self._bshape(inv, out))
+        if offset % P == 1:
+            return self.inverse(evals)
+        return self._jitted(True)(evals, self.op_tables(True, offset))
 
 
 @lru_cache(maxsize=32)

@@ -144,17 +144,30 @@ class PallasNTT:
 
         self._bitrev_R = jnp.asarray(_bit_reverse_indices(self.R))
         self._bitrev_C = jnp.asarray(_bit_reverse_indices(self.C))
-        self._tw_R = {
-            inv: _pack_stage_twiddles(self.R, inv) for inv in (False, True)
-        }
-        self._tw_C = {
-            inv: _pack_stage_twiddles(self.C, inv) for inv in (False, True)
-        }
+        # stage twiddles + pre-tiled small-stage twiddles as DEVICE arrays
+        # (they are threaded into the jitted transforms as arguments, so
+        # build them once here rather than as per-trace constants)
+        self._tw_R = {}
+        self._tw_C = {}
+        self._tiled_R = {}
+        self._tiled_C = {}
+        for inv in (False, True):
+            tw_r = _pack_stage_twiddles(self.R, inv)
+            tw_c = _pack_stage_twiddles(self.C, inv)
+            self._tw_R[inv] = jnp.asarray(tw_r)
+            self._tw_C[inv] = jnp.asarray(tw_c)
+            self._tiled_R[inv] = jnp.asarray(
+                _tile_small_twiddles(tw_r, lane_block)
+            )
+            self._tiled_C[inv] = jnp.asarray(
+                _tile_small_twiddles(tw_c, lane_block)
+            )
         self._ones_row = {}  # cache of broadcast-multiplier tables
 
         # inter-pass twiddle tables W[k1, j2] = omega^{±k1*j2}, built on
-        # device eagerly at plan construction (so jitted transforms only
-        # ever see them as constants — never build them mid-trace)
+        # device eagerly at plan construction (jitted transforms receive
+        # them as ARGUMENTS — a 32 MB closure constant at 2^20 bloated
+        # every compiled module to ~90 MB; as operands the modules are MBs)
         self._W = {}
         for inv in (False, True):
             self._W[inv] = self._build_w_table(inv)
@@ -219,10 +232,14 @@ class PallasNTT:
     # -- kernels ----------------------------------------------------------
 
     def _pass1(
-        self, x: jnp.ndarray, inverse: bool, prow, pcol, apply_pro: bool
+        self, x: jnp.ndarray, tw, tiled, w_table, prow, pcol,
+        apply_pro: bool
     ) -> jnp.ndarray:
         """Column NTTs + coset prologue + W epilogue.
         x: (8, R, C) bit-reversed along axis 1.  Returns A·W (8, R, C).
+        ``tw``/``tiled``/``w_table`` are the stage twiddles, pre-tiled
+        small-stage twiddles and inter-pass W table (threaded as
+        arguments, see class docstring).
 
         apply_pro=False (forward offset=1 and all inverse transforms, whose
         offset handling lives in pass 2's epilogue) drops the prologue
@@ -231,9 +248,6 @@ class PallasNTT:
         two full-array mont_muls."""
         r, c, b = self.R, self.C, self.lane_block
         body = _make_small_ntt_body(r, b)
-        tw = jnp.asarray(self._tw_R[inverse])
-        tiled = jnp.asarray(_tile_small_twiddles(self._tw_R[inverse], b))
-        w_table = self._w_table(inverse)
 
         def stages_and_w(o_ref, tw_ref, tiled_ref, w_ref):
             length = 2
@@ -295,7 +309,7 @@ class PallasNTT:
         )(*operands)
 
     def _pass2(
-        self, y: jnp.ndarray, inverse: bool, erow, ecol, apply_epi: bool
+        self, y: jnp.ndarray, tw, tiled, erow, ecol, apply_epi: bool
     ) -> jnp.ndarray:
         """Row NTTs (+ optional epilogue row/col multipliers).
         y: (8, C, R) bit-reversed along axis 1.  Returns (8, C, R).
@@ -306,8 +320,6 @@ class PallasNTT:
         transforms always apply it (it carries 1/n and the coset undo)."""
         r, c, b = self.R, self.C, self.lane_block
         body = _make_small_ntt_body(c, b)
-        tw = jnp.asarray(self._tw_C[inverse])
-        tiled = jnp.asarray(_tile_small_twiddles(self._tw_C[inverse], b))
 
         def stages(o_ref, tw_ref, tiled_ref):
             length = 2
@@ -367,54 +379,79 @@ class PallasNTT:
 
     # -- public -----------------------------------------------------------
 
-    def _transform(self, a: jnp.ndarray, inverse: bool, offset: int) -> jnp.ndarray:
+    def op_tables(self, inverse: bool, offset: int = 1):
+        """Concrete device-array pytree for one transform — everything
+        :meth:`apply` reads.  Thread through enclosing jits as an
+        ARGUMENT (module-size rationale: see class docstring).  Layout:
+        (W, tw_R, tiled_R, tw_C, tiled_C, row, col) with row/col = coset
+        prologue tables (forward, offset != 1), epilogue tables
+        (inverse; they carry 1/n even at offset 1), or None/None."""
+        if inverse:
+            row, col = self._row_col_tables(offset, True)
+        elif offset % P != 1:
+            row, col = self._row_col_tables(offset, False)
+        else:
+            row = col = None
+        return (
+            self._w_table(inverse),
+            self._tw_R[inverse],
+            self._tiled_R[inverse],
+            self._tw_C[inverse],
+            self._tiled_C[inverse],
+            row,
+            col,
+        )
+
+    def apply(self, a: jnp.ndarray, tables, inverse: bool) -> jnp.ndarray:
+        """Traceable four-step transform reading ONLY ``tables``."""
+        w_table, tw_r, tiled_r, tw_c, tiled_c, row, col = tables
         x = a.reshape(NUM_LIMBS, self.R, self.C)
         x = x[:, self._bitrev_R, :]
-        apply_pro = not inverse and offset % P != 1
-        if apply_pro:
-            prow, pcol = self._row_col_tables(offset, False)
-        else:
-            prow = pcol = None
-        y = self._pass1(x, inverse, prow, pcol, apply_pro)
+        apply_pro = not inverse and row is not None
+        y = self._pass1(
+            x, tw_r, tiled_r, w_table,
+            row if apply_pro else None, col if apply_pro else None,
+            apply_pro,
+        )
 
         y = jnp.transpose(y, (0, 2, 1))  # (8, C=j2 axis, R=k1 lanes)
         y = y[:, self._bitrev_C, :]
-        if inverse:
-            erow, ecol = self._row_col_tables(offset, True)
-        else:
-            erow = ecol = None
-        out = self._pass2(y, inverse, erow, ecol, apply_epi=inverse)
+        out = self._pass2(
+            y, tw_c, tiled_c,
+            row if inverse else None, col if inverse else None,
+            apply_epi=inverse,
+        )
         # layout (8, k2, k1): natural index k = k1 + R*k2 — plain reshape
         return out.reshape(NUM_LIMBS, self.n)
 
-    def _jitted(self, inverse: bool, offset: int):
-        """One jitted end-to-end transform per (direction, offset) so a
-        steady-state call is a single dispatch (bitrev + both Pallas
-        passes + transpose fused into one executable)."""
+    def _jitted(self, inverse: bool):
+        """One jitted end-to-end transform per direction; jax.jit keys on
+        the table pytree STRUCTURE, so plain and coset transforms get
+        their own traces while every offset VALUE shares one executable.
+        A steady-state call is a single dispatch (bitrev + both Pallas
+        passes + transpose fused)."""
         cache = getattr(self, "_jit_cache", None)
         if cache is None:
             cache = self._jit_cache = {}
-        key = (inverse, offset % P)
-        if key not in cache:
-            # build multiplier tables eagerly (outside any trace)
-            if (not inverse and offset != 1) or inverse:
-                self._row_col_tables(offset, inverse)
-            cache[key] = jax.jit(
-                lambda a: self._transform(a, inverse, offset)
+        if inverse not in cache:
+            cache[inverse] = jax.jit(
+                lambda a, t: self.apply(a, t, inverse)
             )
-        return cache[key]
+        return cache[inverse]
 
     def forward(self, a: jnp.ndarray) -> jnp.ndarray:
-        return self._jitted(False, 1)(a)
+        return self._jitted(False)(a, self.op_tables(False))
 
     def inverse(self, a: jnp.ndarray) -> jnp.ndarray:
-        return self._jitted(True, 1)(a)
+        return self._jitted(True)(a, self.op_tables(True))
 
     def coset_forward(self, a: jnp.ndarray, offset: int) -> jnp.ndarray:
-        return self._jitted(False, offset)(a)
+        if offset % P == 1:
+            return self.forward(a)
+        return self._jitted(False)(a, self.op_tables(False, offset))
 
     def coset_inverse(self, a: jnp.ndarray, offset: int) -> jnp.ndarray:
-        return self._jitted(True, offset)(a)
+        return self._jitted(True)(a, self.op_tables(True, offset))
 
 
 @lru_cache(maxsize=8)

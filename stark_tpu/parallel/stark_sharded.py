@@ -81,7 +81,10 @@ class ShardedProverCore:
             return fo.is_zero(coeffs)
 
         self._ext_jit = jax.jit(ext)
-        self._restrict_iszero_raw = restrict_iszero
+        # degree_probe_with's calling convention passes NTT tables as a
+        # second jit argument; the sharded restrict's (small, per-axis)
+        # tables stay closure constants, so it ignores that slot
+        self._restrict_iszero_raw = lambda cw, t: restrict_iszero(cw)
         self._restrict_iszero_jit = jax.jit(restrict_iszero)
 
         @jax.jit

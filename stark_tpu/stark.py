@@ -82,6 +82,7 @@ class Stark:
         rng: RandomBytes = os_random_bytes,
         algorithm: str = "evaluation",
         degree_target: str = "reference",
+        transition_exemptions: Sequence[int] = (),
     ) -> None:
         if expansion_factor & (expansion_factor - 1):
             raise ValueError("expansion factor must be a power of 2")
@@ -115,6 +116,24 @@ class Stark:
         self.original_trace_length = original_trace_length
         self.backend = backend
         self.rng = rng
+        #: cycle indices i (transitions i -> i+1) where the transition
+        #: constraints are NOT enforced: the transition zeroifier skips
+        #: omicron^i, so the AIR may be violated there without breaking
+        #: low-degreeness of the quotient.  The selector for periodic
+        #: computations (segmented/restarted traces, multi-phase AIRs) —
+        #: the reference enforces its constraints on every cycle
+        #: (stark.rs:134-137, the () default).  SOUNDNESS: an exempted
+        #: transition is genuinely unconstrained; exemptions are part of
+        #: the statement and the verifier must use the same list.
+        exemptions = sorted(set(int(e) for e in transition_exemptions))
+        if exemptions and not (
+            0 <= exemptions[0] and exemptions[-1] < original_trace_length - 1
+        ):
+            raise ValueError(
+                "transition exemptions must lie in "
+                f"[0, {original_trace_length - 1})"
+            )
+        self.transition_exemptions = tuple(exemptions)
 
         self.num_randomizers = 4 * num_colinearity_tests
         randomized_trace_length = original_trace_length + self.num_randomizers
@@ -170,13 +189,28 @@ class Stark:
 
     def transition_zeroifier(self) -> Polynomial:
         """prod (x - omicron^i) for i < original_trace_length - 1
-        (reference: stark.rs:134-137).  Trace-independent — cached per
+        (reference: stark.rs:134-137), skipping any
+        ``transition_exemptions``.  Trace-independent — cached per
         instance (it dominated repeat verifies at large trace lengths)."""
         tz = getattr(self, "_tz_poly_cache", None)
         if tz is None:
-            domain = self.omicron_domain[: self.original_trace_length - 1]
+            skip = set(self.transition_exemptions)
+            domain = [
+                p
+                for i, p in enumerate(
+                    self.omicron_domain[: self.original_trace_length - 1]
+                )
+                if i not in skip
+            ]
             tz = self._tz_poly_cache = Polynomial.zeroifier_domain(domain)
         return tz
+
+    def transition_zeroifier_degree(self) -> int:
+        """Degree of the transition zeroifier (trace_length - 1 minus
+        the exempted cycles)."""
+        return (
+            self.original_trace_length - 1 - len(self.transition_exemptions)
+        )
 
     def _tz_eval_batch(
         self, xs: Sequence[FieldElement]
@@ -190,11 +224,17 @@ class Stark:
         lane-multiplies per point instead of O(T) Python-int Horner
         steps — the dense walk dominated large-trace verifies.  Also
         skips *constructing* the dense zeroifier polynomial, which a
-        verify-only caller would otherwise pay once per instance."""
+        verify-only caller would otherwise pay once per instance.
+
+        Transition exemptions divide out their factors afterwards:
+        (prod over ALL i) * prod_e (x - omicron^e)^{-1} equals the
+        filtered product exactly in GF(p) (x is always a coset point,
+        never omicron^e, so the factor is invertible)."""
         m = self.original_trace_length - 1
         if m <= 64 or not xs:
             tz = self.transition_zeroifier()
             return [tz.eval(x) for x in xs]
+        exempt = [self.omicron.pow(e) for e in self.transition_exemptions]
 
         import numpy as np
 
@@ -244,7 +284,16 @@ class Stark:
                 width = h
             acc = ho.mul(acc, np.ascontiguousarray(buf.reshape(4, npts)))
         out = ho.from_mont(acc)
-        return [FieldElement(v) for v in out]
+        vals = [FieldElement(v) for v in out]
+        if exempt:
+            corrected = []
+            for v, x in zip(vals, xs):
+                prod = FieldElement(1)
+                for om_e in exempt:
+                    prod = prod * (x - om_e)
+                corrected.append(v * prod.inverse())
+            vals = corrected
+        return vals
 
     def transition_degree_bounds(
         self, transition_constraints: Sequence[MPolynomial]
@@ -266,7 +315,7 @@ class Stark:
         self, transition_constraints: Sequence[MPolynomial]
     ) -> List[int]:
         return [
-            d - (self.original_trace_length - 1)
+            d - self.transition_zeroifier_degree()
             for d in self.transition_degree_bounds(transition_constraints)
         ]
 
@@ -616,6 +665,29 @@ class Stark:
     # ------------------------------------------------------------------
     # device-resident prover (codewords stay on the TPU end-to-end)
     # ------------------------------------------------------------------
+
+    def precompile(
+        self,
+        transition_constraints: Sequence[MPolynomial],
+        trace_length: int = None,
+        threads: int = 6,
+    ):
+        """Compile the device prover's XLA/Mosaic modules CONCURRENTLY
+        before the first prove (cold-start mitigation: one large module
+        costs 60-100 s through a remote-compile service, and a cold
+        TPU-scale prove needs ~15 of them — sequentially when compiled
+        lazily, in parallel here; see :mod:`stark_tpu.ops.precompile`).
+        No-op (returns None) when the device pipeline is not in use.
+        Returns per-module compile seconds otherwise."""
+        if not self._use_device_pipeline():
+            return None
+        from .ops.precompile import precompile_stark
+
+        if trace_length is None:
+            trace_length = self.original_trace_length
+        return precompile_stark(
+            self, transition_constraints, trace_length, threads
+        )
 
     def _use_device_pipeline(self) -> bool:
         """Whether prove() runs the device-resident pipeline: a backend is
