@@ -41,6 +41,7 @@ __all__ = [
     "RescueStark",
     "FibonacciStark",
     "MimcStark",
+    "RescueChainStark",
     "JaxBackend",
 ]
 
@@ -60,6 +61,10 @@ def __getattr__(name):
         from .models.mimc import MimcStark
 
         return MimcStark
+    if name == "RescueChainStark":
+        from .models.rescue_chain import RescueChainStark
+
+        return RescueChainStark
     if name == "JaxBackend":
         from .ops.backend import JaxBackend
 

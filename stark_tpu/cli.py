@@ -9,6 +9,8 @@ wraps all three model families:
     python -m stark_tpu.cli verify --model fibonacci --steps 4096 --output <result> --proof fib.bin
     python -m stark_tpu.cli prove  --model mimc --steps 1024 --input 3 --out mimc.bin
     python -m stark_tpu.cli verify --model mimc --steps 1024 --input 3 --output <result> --proof mimc.bin
+    python -m stark_tpu.cli prove  --model rescue-chain --hashes 64 --input 1 --out chain.bin
+    python -m stark_tpu.cli verify --model rescue-chain --hashes 64 --output <digest> --proof chain.bin
     python -m stark_tpu.cli hash   --input 1
     python -m stark_tpu.cli info
 """
@@ -47,6 +49,10 @@ def _build_model(args):
 
         key = FieldElement(int(args.key, 0)) if args.key is not None else DEFAULT_KEY
         return MimcStark(args.steps, key=key, **common)
+    if args.model == "rescue-chain":
+        from stark_tpu.models.rescue_chain import RescueChainStark
+
+        return RescueChainStark(args.hashes, **common)
     from stark_tpu.models.rescue_stark import RescueStark
 
     return RescueStark(**common)
@@ -58,12 +64,17 @@ def main(argv=None) -> int:
 
     def add_common(p):
         p.add_argument(
-            "--model", choices=["rescue", "fibonacci", "mimc"], default="rescue",
+            "--model",
+            choices=["rescue", "fibonacci", "mimc", "rescue-chain"],
+            default="rescue",
             help="model family: Rescue-Prime hash preimage (default), "
-            "Fibonacci sequence, or MiMC cubing chain x -> x^3 + k",
+            "Fibonacci sequence, MiMC cubing chain x -> x^3 + k, or a "
+            "chain of Rescue-Prime hashes in one proof",
         )
         p.add_argument("--steps", type=int, default=None,
                        help="trace steps (fibonacci/mimc models; default 4096)")
+        p.add_argument("--hashes", type=int, default=None,
+                       help="chain length (rescue-chain model; default 64)")
         p.add_argument("--seed-a", default=None,
                        help="first sequence seed (fibonacci model only; default 1)")
         p.add_argument("--seed-b", default=None,
@@ -182,14 +193,17 @@ def main(argv=None) -> int:
         "rescue": {"input"},
         "fibonacci": {"steps", "seed_a", "seed_b"},
         "mimc": {"steps", "input", "key"},
+        "rescue-chain": {"input", "hashes"},
     }[args.model]
     for flag, attr in (("--input", "input"), ("--steps", "steps"),
                        ("--seed-a", "seed_a"), ("--seed-b", "seed_b"),
-                       ("--key", "key")):
+                       ("--key", "key"), ("--hashes", "hashes")):
         if getattr(args, attr, None) is not None and attr not in allowed:
             parser.error(f"{flag} is not valid with --model {args.model}")
     if args.steps is None:
         args.steps = 4096
+    if args.hashes is None:
+        args.hashes = 64
     if mimc and args.key is not None:
         # normalize to a canonical decimal string (clean parser error on
         # garbage instead of a traceback out of _build_model)
@@ -210,6 +224,7 @@ def main(argv=None) -> int:
                 what = "the chain seed" if mimc else "the hash preimage"
                 parser.error(f"--input ({what}) is required for the "
                              f"{args.model} model")
+            # rescue, mimc and rescue-chain all prove from one element
             output, proof = model.prove(parse_element(args.input, "--input"))
         dt = time.perf_counter() - t0
         with open(args.out, "wb") as f:
@@ -241,8 +256,8 @@ def main(argv=None) -> int:
                               claimed, proof)
         else:
             if args.input is not None:
-                parser.error("rescue verify takes no --input: the statement "
-                             "is the hash output alone")
+                parser.error(f"{args.model} verify takes no --input: the "
+                             "statement is the hash output alone")
             ok = model.verify(claimed, proof)
         dt = time.perf_counter() - t0
         print(json.dumps({"valid": bool(ok), "verify_seconds": round(dt, 3)}))

@@ -570,7 +570,7 @@ class DeviceProverCore:
         def comb_fn(
             trace_cws,  # tuple of (8, n) Montgomery
             group_cws,  # tuple of (8, n) Montgomery
-            tz_inv,  # (8, n) Montgomery
+            tz_invs,  # tuple of (8, n) Montgomery, one per constraint
             rand_cw,  # (8, n) Montgomery
             bq_cws,  # tuple of (8, n) Montgomery
             weights,  # (8, k) Montgomery
@@ -607,7 +607,7 @@ class DeviceProverCore:
                     acc = term if acc is None else fo.add(acc, term)
                 airs.append(acc)
 
-            tqs = [fo.mont_mul(a, tz_inv) for a in airs]
+            tqs = [fo.mont_mul(a, tz_invs[i]) for i, a in enumerate(airs)]
 
             comb = fo.mont_mul(weights[:, 0:1], rand_cw)
             k2 = 1

@@ -159,7 +159,7 @@ def stark_precompile_jobs(stark, transition_constraints, trace_length: int):
         return fn(
             tuple(_zeros(full) for _ in range(num_registers)),
             tuple(_zeros(full) for _ in group_cws),
-            _zeros(full),
+            tuple(_zeros(full) for _ in range(k_tc)),
             _zeros(full),
             tuple(_zeros(full) for _ in range(num_registers)),
             _zeros((NUM_LIMBS, 1 + 2 * k_tc + 2 * num_registers)),

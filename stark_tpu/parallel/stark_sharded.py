@@ -277,7 +277,7 @@ class ShardedProverCore:
         def comb_fn(
             trace_cws,
             group_cws,
-            tz_inv,
+            tz_invs,  # tuple of arrays, one per constraint
             rand_cw,
             bq_cws,
             weights,  # (8, k) Montgomery
@@ -312,7 +312,7 @@ class ShardedProverCore:
                     acc = term if acc is None else fo.add(acc, term)
                 airs.append(acc)
 
-            tqs = [fo.mont_mul(a, tz_inv) for a in airs]
+            tqs = [fo.mont_mul(a, tz_invs[i]) for i, a in enumerate(airs)]
 
             comb = fo.mont_mul(weights[:, 0:1, None], rand_cw)
             k2 = 1

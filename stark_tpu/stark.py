@@ -83,6 +83,7 @@ class Stark:
         algorithm: str = "evaluation",
         degree_target: str = "reference",
         transition_exemptions: Sequence[int] = (),
+        omicron_domain_length: int = None,
     ) -> None:
         if expansion_factor & (expansion_factor - 1):
             raise ValueError("expansion factor must be a power of 2")
@@ -122,23 +123,65 @@ class Stark:
         #: low-degreeness of the quotient.  The selector for periodic
         #: computations (segmented/restarted traces, multi-phase AIRs) —
         #: the reference enforces its constraints on every cycle
-        #: (stark.rs:134-137, the () default).  SOUNDNESS: an exempted
-        #: transition is genuinely unconstrained; exemptions are part of
-        #: the statement and the verifier must use the same list.
-        exemptions = sorted(set(int(e) for e in transition_exemptions))
-        if exemptions and not (
-            0 <= exemptions[0] and exemptions[-1] < original_trace_length - 1
-        ):
-            raise ValueError(
-                "transition exemptions must lie in "
-                f"[0, {original_trace_length - 1})"
+        #: (stark.rs:134-137, the () default).  Two forms:
+        #:
+        #: * a flat sequence of ints — one list shared by every
+        #:   transition constraint;
+        #: * a sequence of sequences — one list PER constraint, matched
+        #:   positionally to ``transition_constraints`` at prove/verify
+        #:   time (constraint groups: e.g. a chained-permutation AIR
+        #:   whose round constraints skip segment crossings while its
+        #:   chain-link constraints hold ONLY there).
+        #:
+        #: SOUNDNESS: an exempted transition is genuinely unconstrained
+        #: for that constraint; exemptions are part of the statement and
+        #: the verifier must use the same lists.
+        def _norm(one) -> Tuple[int, ...]:
+            vals = sorted(set(int(e) for e in one))
+            if vals and not (
+                0 <= vals[0] and vals[-1] < original_trace_length - 1
+            ):
+                raise ValueError(
+                    "transition exemptions must lie in "
+                    f"[0, {original_trace_length - 1})"
+                )
+            return tuple(vals)
+
+        ex = list(transition_exemptions)
+        nested = [isinstance(e, (list, tuple, set, frozenset, range)) for e in ex]
+        if any(nested):
+            if not all(nested):
+                raise ValueError(
+                    "transition_exemptions mixes ints and sequences; use "
+                    "either one flat list or one list per constraint"
+                )
+            self._per_constraint_exemptions: Tuple[Tuple[int, ...], ...] = (
+                tuple(_norm(e) for e in ex)
             )
-        self.transition_exemptions = tuple(exemptions)
+            self.transition_exemptions = self._per_constraint_exemptions
+        else:
+            self._per_constraint_exemptions = None
+            self.transition_exemptions = _norm(ex)
 
         self.num_randomizers = 4 * num_colinearity_tests
         randomized_trace_length = original_trace_length + self.num_randomizers
         product = randomized_trace_length * TRANSITION_CONSTRAINTS_DEGREE
-        omicron_domain_length = 1 << product.bit_length()
+        default_odl = 1 << product.bit_length()
+        if omicron_domain_length is None:
+            omicron_domain_length = default_odl
+        else:
+            # explicit override for AIRs whose quotient degree outruns
+            # the reference's 2x-trace sizing (stark.rs:53-55), e.g.
+            # chained permutations whose lifted round-constant
+            # interpolants are cubed by the S-box.  Enlargement only:
+            # shrinking would silently break the FRI degree budget.
+            if omicron_domain_length & (omicron_domain_length - 1):
+                raise ValueError("omicron_domain_length must be a power of 2")
+            if omicron_domain_length < default_odl:
+                raise ValueError(
+                    f"omicron_domain_length {omicron_domain_length} below "
+                    f"the minimum {default_odl} for this configuration"
+                )
         self.omicron_domain_length = omicron_domain_length
         self.fri_domain_length = omicron_domain_length * expansion_factor
 
@@ -187,14 +230,38 @@ class Stark:
             interpolants.append(Polynomial.lagrange(domain, values))
         return interpolants
 
-    def transition_zeroifier(self) -> Polynomial:
+    def _exemption_list(self, constraint_index: int) -> Tuple[int, ...]:
+        """The exemption list for one constraint (shared flat list, or
+        the positional entry in per-constraint mode)."""
+        if self._per_constraint_exemptions is None:
+            return self.transition_exemptions
+        return self._per_constraint_exemptions[constraint_index]
+
+    def _check_constraint_count(self, num_constraints: int) -> None:
+        if self._per_constraint_exemptions is not None and len(
+            self._per_constraint_exemptions
+        ) != num_constraints:
+            raise ValueError(
+                f"{len(self._per_constraint_exemptions)} per-constraint "
+                f"exemption lists for {num_constraints} transition "
+                "constraints"
+            )
+
+    def transition_zeroifier(self, constraint_index: int = 0) -> Polynomial:
         """prod (x - omicron^i) for i < original_trace_length - 1
-        (reference: stark.rs:134-137), skipping any
-        ``transition_exemptions``.  Trace-independent — cached per
-        instance (it dominated repeat verifies at large trace lengths)."""
-        tz = getattr(self, "_tz_poly_cache", None)
+        (reference: stark.rs:134-137), skipping the exemptions of
+        ``constraint_index``'s list (all indices agree in flat mode).
+        Trace-independent — cached per exemption set (it dominated
+        repeat verifies at large trace lengths)."""
+        return self._tz_poly(self._exemption_list(constraint_index))
+
+    def _tz_poly(self, exemptions: Tuple[int, ...]) -> Polynomial:
+        cache = getattr(self, "_tz_poly_cache", None)
+        if cache is None:
+            cache = self._tz_poly_cache = {}
+        tz = cache.get(exemptions)
         if tz is None:
-            skip = set(self.transition_exemptions)
+            skip = set(exemptions)
             domain = [
                 p
                 for i, p in enumerate(
@@ -202,18 +269,22 @@ class Stark:
                 )
                 if i not in skip
             ]
-            tz = self._tz_poly_cache = Polynomial.zeroifier_domain(domain)
+            tz = cache[exemptions] = Polynomial.zeroifier_domain(domain)
         return tz
 
-    def transition_zeroifier_degree(self) -> int:
+    def transition_zeroifier_degree(self, constraint_index: int = 0) -> int:
         """Degree of the transition zeroifier (trace_length - 1 minus
-        the exempted cycles)."""
+        the exempted cycles) for one constraint's exemption list."""
         return (
-            self.original_trace_length - 1 - len(self.transition_exemptions)
+            self.original_trace_length
+            - 1
+            - len(self._exemption_list(constraint_index))
         )
 
     def _tz_eval_batch(
-        self, xs: Sequence[FieldElement]
+        self,
+        xs: Sequence[FieldElement],
+        exemptions: Tuple[int, ...] = None,
     ) -> List[FieldElement]:
         """Evaluate the transition zeroifier prod_{i<T-1}(x - omicron^i)
         at many points, vectorized over the omicron power table in
@@ -230,11 +301,23 @@ class Stark:
         (prod over ALL i) * prod_e (x - omicron^e)^{-1} equals the
         filtered product exactly in GF(p) (x is always a coset point,
         never omicron^e, so the factor is invertible)."""
+        if exemptions is None:
+            exemptions = self._exemption_list(0)
         m = self.original_trace_length - 1
-        if m <= 64 or not xs:
-            tz = self.transition_zeroifier()
+        kept_count = m - len(exemptions)
+        if m <= 64 or kept_count <= 64 or not xs:
+            # tiny filtered product: direct per-point evaluation
+            tz = self._tz_poly(exemptions)
             return [tz.eval(x) for x in xs]
-        exempt = [self.omicron.pow(e) for e in self.transition_exemptions]
+        if len(exemptions) > m // 2:
+            # mostly-exempt (e.g. a chain-link constraint active only on
+            # segment crossings): run the batched product over the KEPT
+            # columns directly rather than correcting out most of them
+            kept = sorted(set(range(m)) - set(exemptions))
+            exempt = []
+        else:
+            kept = None
+            exempt = [self.omicron.pow(e) for e in exemptions]
 
         import numpy as np
 
@@ -255,6 +338,9 @@ class Stark:
             # footprint of a 2^24-point table; upcast per block at use
             pts = np.ascontiguousarray(pts[:, :m]).astype(np.uint32)
             self._tz_points_mont = pts
+        if kept is not None:
+            pts = np.ascontiguousarray(pts[:, kept])
+            m = len(kept)
         npts = len(xs)
         xm = ho.to_mont([fe.value for fe in xs])  # (4, npts)
         one = ho.to_mont([1])
@@ -295,6 +381,20 @@ class Stark:
             vals = corrected
         return vals
 
+    def _tz_inv_codeword(
+        self, exemptions: Tuple[int, ...], fri_domain
+    ) -> List[int]:
+        """Inverted transition-zeroifier codeword over the FRI coset
+        (host evaluation path); cached per exemption set."""
+        cache = getattr(self, "_tz_inv_cache", None)
+        if cache is None:
+            cache = self._tz_inv_cache = {}
+        tz_inv = cache.get(exemptions)
+        if tz_inv is None:
+            tz_codeword = self._rs_extend(self._tz_poly(exemptions), fri_domain)
+            tz_inv = cache[exemptions] = _batch_inverse(tz_codeword)
+        return tz_inv
+
     def transition_degree_bounds(
         self, transition_constraints: Sequence[MPolynomial]
     ) -> List[int]:
@@ -314,9 +414,12 @@ class Stark:
     def transition_quotient_degree_bounds(
         self, transition_constraints: Sequence[MPolynomial]
     ) -> List[int]:
+        self._check_constraint_count(len(transition_constraints))
         return [
-            d - self.transition_zeroifier_degree()
-            for d in self.transition_degree_bounds(transition_constraints)
+            d - self.transition_zeroifier_degree(i)
+            for i, d in enumerate(
+                self.transition_degree_bounds(transition_constraints)
+            )
         ]
 
     def boundary_quotient_degree_bounds(
@@ -402,8 +505,10 @@ class Stark:
         transition_polynomials = [
             a.eval_symbolic(point) for a in transition_constraints
         ]
-        tz = self.transition_zeroifier()
-        transition_quotients = [tp / tz for tp in transition_polynomials]
+        transition_quotients = [
+            tp / self._tz_poly(self._exemption_list(i))
+            for i, tp in enumerate(transition_polynomials)
+        ]
 
         tq_degrees = [tq.degree() for tq in transition_quotients]
         if tq_degrees != tq_bounds:
@@ -427,22 +532,13 @@ class Stark:
             combination = combination + term.scale(w)
         return self._rs_extend(combination, fri_domain)
 
-    def _air_codeword(
-        self, tc: MPolynomial, state_columns, fri_domain
-    ) -> List[int]:
-        """Evaluate one AIR polynomial over the whole FRI domain.
-
-        Terms are grouped by their state-variable monomial: the AIR is
-        rewritten as sum_m  m(state) * c_m(x)  with c_m univariate in x
-        (the round-constant interpolants concentrate there).  Each c_m is
-        evaluated in one coset NTT and the state monomials are cached
-        power columns — O(#monomials) NTTs + elementwise products instead
-        of per-point dictionary evaluation.
-        """
-        n = self.fri_domain_length
-        # the group codewords depend only on the AIR (round-constant
-        # interpolants), not on the trace — cache per constraint object so
-        # repeated proving skips their coset NTTs entirely
+    def _air_groups_extended(self, tc: MPolynomial, fri_domain):
+        """Grouped-monomial decomposition of one AIR polynomial with its
+        univariate coefficient polys RS-extended over the FRI coset:
+        a list of (state-tail exponent tuple, base codeword ints).  The
+        AIR is rewritten as sum_m  m(state) * c_m(x)  with c_m univariate
+        in x (the round-constant interpolants concentrate there).  Cached
+        per AIR content — trace-independent."""
         cache = getattr(self, "_air_group_cache", None)
         if cache is None:
             cache = self._air_group_cache = {}
@@ -469,6 +565,64 @@ class Stark:
                     (tail, self._rs_extend(Polynomial(coeffs), fri_domain))
                 )
             cached = cache[key] = group_codewords
+        return cached
+
+    def _device_air_group_values(
+        self, transition_constraints, big, indices
+    ):
+        """Verifier fast path for large AIRs with the device pipeline:
+        RS-extend the grouped coefficient polys ON the device (cached —
+        shared with the prover's combination kernel) and gather ONLY the
+        query indices in one stacked fetch, instead of pulling whole
+        codewords (16 MB each at 2^20) over the host link.  Returns, per
+        constraint, a list of (tail, {index: base value}) or None for
+        small constraints (dict evaluation stays cheaper)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .ops import field_ops as fo
+        from .ops.device_prover import digits_value
+
+        core = self._device_core()
+        group_cws, structure = self._device_air_groups(
+            core, transition_constraints
+        )
+        if any(cw.ndim != 2 for cw in group_cws):
+            return None  # four-step sharded layout: host path handles it
+        idx = sorted(set(int(i) for i in indices))
+        idx_arr = jnp.asarray(idx, dtype=jnp.int32)
+        cols = jnp.concatenate([cw[:, idx_arr] for cw in group_cws], axis=1)
+        plain = fo.from_mont(cols)
+        digits = np.ascontiguousarray(
+            np.asarray(
+                jax.device_get(plain[0::2] | (plain[1::2] << 16))
+            ).T
+        )  # (G * K, 4) rows in group-major order
+        k = len(idx)
+        out = []
+        for s in range(len(transition_constraints)):
+            if not big[s]:
+                out.append(None)
+                continue
+            vals = []
+            for tail, gi in structure[s]:
+                base = digits[gi * k : (gi + 1) * k]
+                vals.append(
+                    (tail, {i: digits_value(base, r) for r, i in enumerate(idx)})
+                )
+            out.append(vals)
+        return out
+
+    def _air_codeword(
+        self, tc: MPolynomial, state_columns, fri_domain
+    ) -> List[int]:
+        """Evaluate one AIR polynomial over the whole FRI domain via the
+        grouped decomposition (:meth:`_air_groups_extended`) — one coset
+        NTT per group + elementwise products instead of per-point
+        dictionary evaluation."""
+        n = self.fri_domain_length
+        cached = self._air_groups_extended(tc, fri_domain)
 
         if n >= 4096:
             # vectorized numpy column algebra (bit-identical; see hostops)
@@ -572,16 +726,16 @@ class Stark:
             for tc in transition_constraints
         ]
 
-        # the zeroifier codeword is trace-independent too — cache it
-        tz_inv = getattr(self, "_tz_inv_cache", None)
-        if tz_inv is None:
-            tz_codeword = self._rs_extend(
-                self.transition_zeroifier(), fri_domain
-            )
-            tz_inv = self._tz_inv_cache = _batch_inverse(tz_codeword)
+        # the zeroifier codewords are trace-independent too — cache them
+        # per exemption set
         tq_codewords = [
-            [a * zi % P for a, zi in zip(air_cw, tz_inv)]
-            for air_cw in air_codewords
+            [
+                a * zi % P
+                for a, zi in zip(
+                    air_cw, self._tz_inv_codeword(self._exemption_list(i), fri_domain)
+                )
+            ]
+            for i, air_cw in enumerate(air_codewords)
         ]
 
         # degree assertion via inverse coset-NTT (reference: stark.rs:379-380)
@@ -750,13 +904,16 @@ class Stark:
             entry = cache[key] = (tuple(group_cws), tuple(structure))
         return entry
 
-    def _device_tz_inv(self, core):
+    def _device_tz_inv(self, core, exemptions: Tuple[int, ...] = ()):
         """Inverted transition-zeroifier codeword (trace-independent),
-        cached on device per Stark instance."""
-        tz_inv = getattr(self, "_device_tz_inv_cache", None)
+        cached on device per exemption set."""
+        cache = getattr(self, "_device_tz_inv_cache", None)
+        if cache is None:
+            cache = self._device_tz_inv_cache = {}
+        tz_inv = cache.get(exemptions)
         if tz_inv is None:
-            tz_cw = core.extend(self.transition_zeroifier().coeffs)
-            tz_inv = self._device_tz_inv_cache = core.inverse(tz_cw)
+            tz_cw = core.extend(self._tz_poly(exemptions).coeffs)
+            tz_inv = cache[exemptions] = core.inverse(tz_cw)
         return tz_inv
 
     def _combination_device(
@@ -784,7 +941,10 @@ class Stark:
         group_cws, structure = self._device_air_groups(
             core, transition_constraints
         )
-        tz_inv = self._device_tz_inv(core)
+        tz_invs = tuple(
+            self._device_tz_inv(core, self._exemption_list(i))
+            for i in range(len(transition_constraints))
+        )
         tq_tabs = tuple(
             core.shift_table(max_degree - b, omega) for b in tq_bounds
         )
@@ -807,7 +967,7 @@ class Stark:
         comb_mont, tq_stack = fn(
             trace_cws,
             group_cws,
-            tz_inv,
+            tz_invs,
             randomizer_codeword.mont,
             tuple(cw.mont for cw in bq_codewords),
             weights_mont,
@@ -1285,11 +1445,52 @@ class Stark:
 
         # batched transition-zeroifier evaluation at all query points
         # (vectorized; the per-index dense Horner walk was the verifier's
-        # scaling hot spot at large trace lengths)
+        # scaling hot spot at large trace lengths) — one batch per
+        # DISTINCT exemption set, then inverted once per point
         domain_points = [
             self.generator * self.omega.pow(i) for i in indices
         ]
-        tz_evals = self._tz_eval_batch(domain_points)
+        exemption_lists = [
+            self._exemption_list(i) for i in range(len(transition_constraints))
+        ]
+        tz_inv_by_exs: Dict[Tuple[int, ...], List[FieldElement]] = {}
+        for exs in set(exemption_lists):
+            tz_inv_by_exs[exs] = [
+                v.inverse() for v in self._tz_eval_batch(domain_points, exs)
+            ]
+
+        # large AIRs (e.g. chained permutations whose lifted round-constant
+        # interpolants have degree ~trace_length) would walk hundreds of
+        # thousands of dict monomials per query point; evaluate those via
+        # the grouped decomposition instead — per constraint, a list of
+        # (tail, {index: base value}) with base = c_m(g * omega^index)
+        big = [len(tc.dict) > 4096 for tc in transition_constraints]
+        air_group_vals = [None] * len(transition_constraints)
+        if any(big):
+            if self._use_device_pipeline():
+                air_group_vals = self._device_air_group_values(
+                    transition_constraints, big, indices
+                )
+            if air_group_vals is None:
+                air_group_vals = [None] * len(transition_constraints)
+            if not any(air_group_vals):
+                # host path: cached full coset extensions of the grouped
+                # coefficient polys
+                fri_domain_pts = (
+                    self.fri.eval_domain() if self.backend is None else None
+                )
+                air_group_vals = []
+                for s, tc in enumerate(transition_constraints):
+                    if not big[s]:
+                        air_group_vals.append(None)
+                        continue
+                    groups = self._air_groups_extended(tc, fri_domain_pts)
+                    air_group_vals.append(
+                        [
+                            (tail, {i: cw[i] for i in indices})
+                            for tail, cw in groups
+                        ]
+                    )
 
         for pos, current_index in enumerate(indices):
             domain_current_index = domain_points[pos]
@@ -1309,15 +1510,24 @@ class Stark:
                 ) + interpolants[s].eval(trace_next_point)
 
             point = [domain_current_index] + current_trace + next_trace
-            transition_constraints_values = [
-                tc.eval(point) for tc in transition_constraints
-            ]
+            state_ints = [fe.value for fe in current_trace + next_trace]
+            transition_constraints_values = []
+            for s, tc in enumerate(transition_constraints):
+                if air_group_vals[s] is None:
+                    transition_constraints_values.append(tc.eval(point))
+                    continue
+                acc = 0
+                for tail, base_vals in air_group_vals[s]:
+                    term = base_vals[current_index]
+                    for vi, e in enumerate(tail):
+                        if e:
+                            term = term * pow(state_ints[vi], e, P) % P
+                    acc = (acc + term) % P
+                transition_constraints_values.append(FieldElement(acc))
 
             terms: List[FieldElement] = [randomizer[current_index]]
-            tz_eval = tz_evals[pos]
-            tz_eval_inv = tz_eval.inverse()
             for s, tcv in enumerate(transition_constraints_values):
-                quotient = tcv * tz_eval_inv
+                quotient = tcv * tz_inv_by_exs[exemption_lists[s]][pos]
                 terms.append(quotient)
                 shift = max_degree - tq_bounds[s]
                 terms.append(quotient * domain_current_index.pow(shift))
