@@ -165,12 +165,32 @@ def _fib_model():
     )
 
 
-def _precompile_all(model, logns=(16, 20), threads=8):
+def _chain_model():
+    from stark_tpu.models.rescue_chain import RescueChainStark
+    from stark_tpu.ops.backend import JaxBackend
+    from stark_tpu.rng import DeterministicRandom
+
+    # 4096 hashes -> trace 114688, omicron 2^18, FRI domain 2^20: the
+    # SAME codeword-level modules (tree, cascade rounds, ext) as the
+    # fibonacci scenario, so the two flagships share their giant
+    # compiles and only the combination/interp modules differ
+    hashes = int(os.environ.get("STARK_TPU_BENCH_CHAIN_HASHES", "4096"))
+    return RescueChainStark(
+        hashes, backend=JaxBackend(), rng=DeterministicRandom(3)
+    )
+
+
+def _precompile_all(fib_model, chain_model, logns=(16, 20), threads=8):
     """Warm EVERY big module the remaining stages will touch, on one
     thread pool: the remote compile service parallelizes across client
-    threads almost perfectly (~3x measured), so this turns ~25 serial
-    60-100 s compiles into a few pool waves.  On a warm persistent cache
-    each job degrades to a fast disk load — safe either way."""
+    threads almost perfectly (~3x measured).  On a warm persistent cache
+    each job degrades to a fast disk load — safe either way.
+
+    Wave structure keeps redundant giant compiles off the critical path:
+    the chain scenario shares its biggest modules (tree, cascade rounds,
+    ext) with the fibonacci one, so its phase-1 jobs run AFTER
+    fibonacci's have populated the persistent cache — concurrently they
+    would each pay the full 15+ min compile for identical content."""
     import jax.numpy as jnp
 
     from stark_tpu.ops.ntt import get_plan
@@ -199,11 +219,23 @@ def _precompile_all(model, logns=(16, 20), threads=8):
 
     jobs.append(("rescue", rescue_job))
 
-    phase1, phase2 = stark_precompile_jobs(
-        model.stark, model._constraints, model.air.trace_length
+    fib_p1, fib_p2 = stark_precompile_jobs(
+        fib_model.stark, fib_model._constraints, fib_model.air.trace_length
     )
-    t = parallel_warm(jobs + phase1, threads)
-    t.update(parallel_warm(phase2, threads))
+    t = parallel_warm(fib_p1 + jobs, threads, mark)
+    if chain_model is not None:
+        ch_p1, ch_p2 = stark_precompile_jobs(
+            chain_model.stark, chain_model.constraints,
+            chain_model.air.trace_length,
+        )
+        t.update(parallel_warm(
+            fib_p2 + [(f"chain:{n}", f) for n, f in ch_p1], threads, mark
+        ))
+        t.update(parallel_warm(
+            [(f"chain:{n}", f) for n, f in ch_p2], threads, mark
+        ))
+    else:
+        t.update(parallel_warm(fib_p2, threads, mark))
     slow = {k: v for k, v in sorted(t.items(), key=lambda kv: -kv[1])[:8]}
     mark(f"precompile timings (top): {slow}")
     return t
@@ -230,6 +262,34 @@ def _bench_fibonacci_large(model):
     stages = {k: round(v, 3) for k, v in sorted(
         prof.totals.items(), key=lambda kv: -kv[1])}
     return prove_s, verify_s, model.stark.fri_domain_length, stages
+
+
+def _bench_chain_large(model):
+    """TPU-scale chained-permutation proving: 4096 Rescue-Prime hashes
+    certified by one proof (trace 114688 rows, 2^20 FRI domain).  The
+    reference proves ONE hash in ~12 s; witness generation (the
+    inherently sequential hash chain) is reported separately from proof
+    generation."""
+    from stark_tpu.field import FieldElement
+
+    x = FieldElement(123456789)
+    assert model.stark._use_device_pipeline()
+    trace = model.air.trace(x)
+    output = trace[-1][0]
+    boundary = model.air.boundary_constraints(output)
+    proof = model.stark.prove(trace, model.constraints, boundary)  # warm
+    model.verify(output, proof)  # warm the verifier's caches
+    t0 = time.perf_counter()
+    trace = model.air.trace(x)
+    witness_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    proof = model.stark.prove(trace, model.constraints, boundary)
+    prove_s = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    ok = model.verify(output, proof)
+    verify_s = time.perf_counter() - t2
+    assert ok, "chain proof failed to verify"
+    return witness_s, prove_s, verify_s, len(proof)
 
 
 def _bench_rescue(batch=4096, iters=5):
@@ -307,7 +367,7 @@ def _worker(result, extra, headline_done):
             extra.setdefault("stage_errors", {})[name] = msg[:300]
             mark(f"{name} FAILED: {msg[:120]}")
 
-    state = {"fib_model": None}
+    state = {"fib_model": None, "chain_model": None}
 
     def s_prove():
         prove_s, verify_s, proof_bytes = _bench_prove()
@@ -319,7 +379,11 @@ def _worker(result, extra, headline_done):
 
     def s_precompile():
         state["fib_model"] = _fib_model()
-        _precompile_all(state["fib_model"])
+        try:
+            state["chain_model"] = _chain_model()
+        except Exception as e:  # noqa: BLE001
+            extra.setdefault("stage_errors", {})["chain model"] = str(e)[:300]
+        _precompile_all(state["fib_model"], state["chain_model"])
 
     def s_batch():
         extra["stark_proofs_per_s_single_process"] = round(
@@ -349,6 +413,15 @@ def _worker(result, extra, headline_done):
         extra["fibonacci_fri_domain"] = fib_domain
         extra["fibonacci_prove_stages_s"] = fib_stages
 
+    def s_chain():
+        model = state["chain_model"] or _chain_model()
+        witness_s, prove_s, verify_s, proof_bytes = _bench_chain_large(model)
+        extra["rescue_chain_hashes"] = model.air.num_hashes
+        extra["rescue_chain_prove_s"] = round(prove_s, 3)
+        extra["rescue_chain_witness_s"] = round(witness_s, 3)
+        extra["rescue_chain_verify_s"] = round(verify_s, 3)
+        extra["rescue_chain_proof_bytes"] = proof_bytes
+
     stage("prove (small config)", s_prove)
     stage("batch throughput", s_batch)
     stage("parallel precompile", s_precompile)
@@ -358,6 +431,7 @@ def _worker(result, extra, headline_done):
     stage("rescue timing", s_rescue)
     stage("fold timing", s_fold)
     stage("fibonacci 2^16 prove", s_fib)
+    stage("rescue-chain 4096-hash prove", s_chain)
     mark("done")
 
 

@@ -34,12 +34,17 @@ from ..params import NUM_LIMBS
 
 
 def parallel_warm(
-    jobs: Sequence[Tuple[str, Callable[[], object]]], threads: int = 6
+    jobs: Sequence[Tuple[str, Callable[[], object]]],
+    threads: int = 6,
+    progress: Callable[[str], None] = None,
 ) -> Dict[str, float]:
     """Run compile-triggering thunks on a thread pool; returns
     name -> seconds.  Exceptions are recorded (as negative durations
     would be useless, the message is logged) but never propagate — a
-    failed warm job just means that module compiles lazily later."""
+    failed warm job just means that module compiles lazily later.
+    ``progress`` (if given) is called with a short line as each job
+    finishes — cold giants compile for many minutes, and a silent pool
+    is indistinguishable from a hung tunnel."""
     from ..utils import get_logger
 
     log = get_logger("stark_tpu.precompile")
@@ -52,9 +57,13 @@ def parallel_warm(
             out = fn()
             jax.block_until_ready(out)
             timings[name] = round(time.perf_counter() - t0, 2)
+            if progress is not None:
+                progress(f"warm {name}: {timings[name]}s")
         except Exception as e:  # noqa: BLE001 — warm-up must never fail
             log.warning("precompile job %s failed: %s", name, e)
             timings[name] = -1.0
+            if progress is not None:
+                progress(f"warm {name} FAILED: {str(e)[:120]}")
         return name
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
@@ -81,25 +90,13 @@ def stark_precompile_jobs(stark, transition_constraints, trace_length: int):
     m_trace = trace_length + stark.num_randomizers
     full = (NUM_LIMBS, n)
 
+    # GIANTS FIRST: the device Merkle tree and the fused FRI cascade
+    # rounds are by far the largest modules (tens of MB serialized,
+    # 15+ min cold compiles through the tunnel) — they must enter the
+    # pool before the small jobs so they define the critical path
+    # instead of extending it (round-3 forensics: queued behind small
+    # NTT jobs they pushed a cold warm-up past 23 minutes)
     phase1: List[Tuple[str, Callable[[], object]]] = []
-    phase1.append(("ext", lambda: core._ext_jit(_zeros(full), core._fwd_tabs)))
-    phase1.append(
-        ("ext_mont", lambda: core._ext_mont_jit(
-            _zeros((NUM_LIMBS, m_trace)), core._fwd_tabs))
-    )
-    phase1.append(("mont_inv", lambda: fo.mont_inv(_zeros(full))))
-
-    if m_trace > 256 and hasattr(core, "extend_mont"):
-        from .geometric_device import device_geometric_interpolate
-
-        omicron = stark.omicron.value
-
-        def interp():
-            return device_geometric_interpolate(
-                _zeros((NUM_LIMBS, m_trace)), 1, omicron
-            )
-
-        phase1.append(("interp", interp))
 
     device_floor = max(DEVICE_TREE_MIN, 2 * TAIL_WIDTH)
     if n >= device_floor:
@@ -130,6 +127,25 @@ def stark_precompile_jobs(stark, transition_constraints, trace_length: int):
                 )
 
             phase1.append((f"cascade_r{r}", cascade))
+
+    phase1.append(("ext", lambda: core._ext_jit(_zeros(full), core._fwd_tabs)))
+    phase1.append(
+        ("ext_mont", lambda: core._ext_mont_jit(
+            _zeros((NUM_LIMBS, m_trace)), core._fwd_tabs))
+    )
+    phase1.append(("mont_inv", lambda: fo.mont_inv(_zeros(full))))
+
+    if m_trace > 256 and hasattr(core, "extend_mont"):
+        from .geometric_device import device_geometric_interpolate
+
+        omicron = stark.omicron.value
+
+        def interp():
+            return device_geometric_interpolate(
+                _zeros((NUM_LIMBS, m_trace)), 1, omicron
+            )
+
+        phase1.append(("interp", interp))
 
     def probe():
         k_tc = len(transition_constraints)
@@ -172,13 +188,14 @@ def stark_precompile_jobs(stark, transition_constraints, trace_length: int):
 
 
 def precompile_stark(
-    stark, transition_constraints, trace_length: int, threads: int = 6
+    stark, transition_constraints, trace_length: int, threads: int = 6,
+    progress: Callable[[str], None] = None,
 ) -> Dict[str, float]:
     """Compile every big device module of ``stark``'s prove concurrently
     (see module docstring).  Returns per-module compile seconds."""
     phase1, phase2 = stark_precompile_jobs(
         stark, transition_constraints, trace_length
     )
-    timings = parallel_warm(phase1, threads)
-    timings.update(parallel_warm(phase2, threads))
+    timings = parallel_warm(phase1, threads, progress)
+    timings.update(parallel_warm(phase2, threads, progress))
     return timings

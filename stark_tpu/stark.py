@@ -52,6 +52,10 @@ from .serialization import (
 
 BoundaryCondition = Tuple[int, int, FieldElement]
 
+#: AIR dict sizes above this use the grouped verifier evaluation
+#: (per-point dictionary walks scale with the lifted interpolant degree)
+BIG_AIR_DICT = 4096
+
 
 def _batch_inverse(values: Sequence[int]) -> List[int]:
     """Batch modular inversion via Montgomery's running-product trick
@@ -1464,7 +1468,7 @@ class Stark:
         # thousands of dict monomials per query point; evaluate those via
         # the grouped decomposition instead — per constraint, a list of
         # (tail, {index: base value}) with base = c_m(g * omega^index)
-        big = [len(tc.dict) > 4096 for tc in transition_constraints]
+        big = [len(tc.dict) > BIG_AIR_DICT for tc in transition_constraints]
         air_group_vals = [None] * len(transition_constraints)
         if any(big):
             if self._use_device_pipeline():

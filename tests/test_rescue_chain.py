@@ -146,3 +146,33 @@ def test_cli_rescue_chain_round_trip(tmp_path, capsys):
         cli_main(["verify", "--model", "rescue-chain", "--hashes", "2",
                   "--input", "1", "--output", out["output"],
                   "--proof", proof_file])
+
+
+def test_chain_device_pipeline_transcript_identical(monkeypatch):
+    """Device-resident prove of a chain (per-constraint zeroifiers in the
+    combination megakernel) must be byte-identical to the host pipeline,
+    and the grouped verifier path (host and device-gather variants) must
+    agree with plain dict evaluation."""
+    from stark_tpu import stark as stark_mod
+    from stark_tpu.ops.backend import JaxBackend
+
+    backend = JaxBackend()
+    backend.device_prover_min = 512
+    host = _model(4, seed=21)
+    dev = RescueChainStark(
+        4, backend=backend, rng=DeterministicRandom(21)
+    )
+    assert dev.stark._use_device_pipeline()
+    x = FieldElement(77)
+    out_h, proof_h = host.prove(x)
+    out_d, proof_d = dev.prove(x)
+    assert out_h == out_d
+    assert proof_h == proof_d
+
+    # all three verifier AIR-evaluation routes accept the same proof:
+    # dict walk (default at this size), grouped host, grouped device
+    assert host.verify(out_h, proof_h)
+    monkeypatch.setattr(stark_mod, "BIG_AIR_DICT", 1)
+    assert host.verify(out_h, proof_h)   # grouped, host extensions
+    assert dev.verify(out_d, proof_d)    # grouped, device gather
+    assert not dev.verify(out_d + FieldElement(1), proof_d)
