@@ -61,3 +61,27 @@ def test_sharded_stark_proof_byte_identical(mesh):
     # the codewords really lived on the mesh in four-step layout
     core = sharded.stark._device_core_cache
     assert core.R * core.C == 1 << 14
+
+
+def test_sharded_chain_proof_byte_identical(mesh):
+    """Chained permutations on the mesh: DISTINCT per-constraint
+    zeroifier codewords flow through the sharded combination kernel
+    (the fibonacci case ships two identical ones).  Byte-identical to
+    the host prover."""
+    from stark_tpu.models.rescue_chain import RescueChainStark
+    from stark_tpu.parallel import ShardedBackend
+
+    seed = 9
+    x = FieldElement(31337)
+    host = RescueChainStark(4, rng=DeterministicRandom(seed))
+    out, host_proof = host.prove(x)
+
+    backend = ShardedBackend(mesh, device_prover_min=1024)
+    sharded = RescueChainStark(
+        4, backend=backend, rng=DeterministicRandom(seed)
+    )
+    assert sharded.stark._use_device_pipeline()
+    out2, sharded_proof = sharded.prove(x)
+    assert out2 == out
+    assert sharded_proof == host_proof
+    assert sharded.verify(out2, sharded_proof)
