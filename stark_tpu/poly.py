@@ -169,6 +169,23 @@ class Polynomial:
             q = detect_ratio(vals)
             if q is not None:
                 return Polynomial(geometric_zeroifier(vals[0], q, len(vals)))
+        if len(vals) > 1024:
+            # non-geometric large domain (e.g. a transition zeroifier with
+            # per-constraint exemptions): pairwise product tree with NTT
+            # multiplies — O(n log^2 n) and bit-identical to the incremental
+            # product below (polynomial products over GF(p) are exact, so
+            # the association order cannot change a coefficient); the
+            # incremental O(n^2) Python loop took ~20 minutes at n ~ 2^17
+            layer: List[List[int]] = [[(-v) % P, 1] for v in vals]
+            while len(layer) > 1:
+                nxt = [
+                    poly_multiply(layer[i], layer[i + 1])
+                    for i in range(0, len(layer) - 1, 2)
+                ]
+                if len(layer) & 1:
+                    nxt.append(layer[-1])
+                layer = nxt
+            return Polynomial(layer[0])
         acc = [1]
         for dv in vals:
             # multiply acc by (x - d): shift up + subtract d*acc

@@ -120,6 +120,27 @@ def test_zeroifier_fuzz():
     assert z.eval(vanish_at[0] + 1).value != 0
 
 
+def test_zeroifier_product_tree_matches_incremental():
+    """The >1024-point product-tree path must produce the SAME polynomial
+    as the incremental product (exact GF(p) products are association-
+    independent) — exercised on a random non-geometric domain just past
+    the threshold, compared against a sub-threshold incremental rebuild."""
+    rng = random.Random(7)
+    vanish_at = [rng.randrange(P) for _ in range(1030)]
+    z_tree = Polynomial.zeroifier_domain(vanish_at)  # product-tree path
+    # incremental ground truth (threshold-independent re-derivation)
+    acc = [1]
+    for dv in vanish_at:
+        nxt = [0] + acc
+        for i in range(len(acc)):
+            nxt[i] = (nxt[i] - dv * acc[i]) % P
+        acc = nxt
+    assert z_tree.coeffs[: len(acc)] == acc
+    assert z_tree.degree() == 1030
+    for x in vanish_at[:5]:
+        assert z_tree.eval(x).value == 0
+
+
 def test_colinearity():
     assert Polynomial.test_colinearity([(0, 0), (1, 1), (2, 2)])
     assert not Polynomial.test_colinearity([(0, 0), (1, 1), (2, 5)])

@@ -1,10 +1,20 @@
 """Parallel AOT precompile: the enumerated modules must cover a real
 device prove (no lazy compiles left on the hot path), and precompiling
-must not change transcripts."""
+must not change transcripts.
 
-from stark_tpu.field import FieldElement
+The coverage test compiles ~15 sizable XLA:CPU modules (precompile pool
++ two full device proves).  XLA:CPU segfaults nondeterministically once
+one process holds many test files' worth of compiled modules (see
+CLAUDE.md), and this test pushed the shared xdist worker over that
+cliff, so it runs its body in a FRESH subprocess and asserts on the exit
+code.
+"""
+
+import os
+import subprocess
+import sys
+
 from stark_tpu.models.fibonacci import FibonacciStark
-from stark_tpu.ops.backend import JaxBackend
 from stark_tpu.rng import DeterministicRandom
 
 
@@ -12,12 +22,20 @@ def _fresh(steps=1200):
     # 1208-cycle randomized trace -> 4096 omicron domain -> 16384 FRI
     # domain: crosses device_prover_min AND the cascade's device floor,
     # so the precompile enumeration exercises every job family
+    from stark_tpu.ops.backend import JaxBackend
+
     return FibonacciStark(
         steps, backend=JaxBackend(), rng=DeterministicRandom(11)
     )
 
 
-def test_precompile_covers_real_prove():
+def _driver():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from stark_tpu.field import FieldElement
+
     model = _fresh()
     assert model.stark._use_device_pipeline()
     timings = model.precompile(threads=2)
@@ -42,8 +60,30 @@ def test_precompile_covers_real_prove():
     model2 = _fresh()
     result2, proof2 = model2.prove(a, b)
     assert result2 == result and proof2 == proof
+    print("precompile coverage OK")
+
+
+def test_precompile_covers_real_prove():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the driver pins cpu itself
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        timeout=1500,
+        env=env,
+    )
+    assert proc.returncode == 0, (
+        f"precompile driver failed (rc {proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "precompile coverage OK" in proc.stdout
 
 
 def test_precompile_noop_without_device_pipeline():
     model = FibonacciStark(16, rng=DeterministicRandom(1))
     assert model.precompile() is None
+
+
+if __name__ == "__main__":
+    _driver()
