@@ -289,7 +289,10 @@ def _bench_chain_large(model):
     ok = model.verify(output, proof)
     verify_s = time.perf_counter() - t2
     assert ok, "chain proof failed to verify"
-    return witness_s, prove_s, verify_s, len(proof)
+    prof = model.stark.last_profile
+    stages = {k: round(v, 3) for k, v in sorted(
+        prof.totals.items(), key=lambda kv: -kv[1])}
+    return witness_s, prove_s, verify_s, len(proof), stages
 
 
 def _bench_rescue(batch=4096, iters=5):
@@ -415,12 +418,15 @@ def _worker(result, extra, headline_done):
 
     def s_chain():
         model = state["chain_model"] or _chain_model()
-        witness_s, prove_s, verify_s, proof_bytes = _bench_chain_large(model)
+        witness_s, prove_s, verify_s, proof_bytes, stages = (
+            _bench_chain_large(model)
+        )
         extra["rescue_chain_hashes"] = model.air.num_hashes
         extra["rescue_chain_prove_s"] = round(prove_s, 3)
         extra["rescue_chain_witness_s"] = round(witness_s, 3)
         extra["rescue_chain_verify_s"] = round(verify_s, 3)
         extra["rescue_chain_proof_bytes"] = proof_bytes
+        extra["rescue_chain_prove_stages_s"] = stages
 
     stage("prove (small config)", s_prove)
     stage("batch throughput", s_batch)

@@ -24,6 +24,35 @@ def test_chain_matches_iterated_hash():
     assert rp.hash(x) == FieldElement(244180265933090377212304188905974087294)
 
 
+def test_native_witness_matches_python_golden_model():
+    """native/rescue.c is a pure performance seam: every recorded state
+    of the chain must equal the Python golden model's, bit for bit (the
+    trace feeds Merkle leaf bytes, so any difference is a transcript
+    change)."""
+    rescue_native = pytest.importorskip("stark_tpu.native.rescue_native")
+    rp = RescuePrime()
+    L, x = 5, 123456789
+    nat = rescue_native.chain_trace(x, L)
+    assert nat.shape == (28 * L, 2)
+    h = FieldElement(x)
+    i = 0
+    for _ in range(L):
+        seg = rp.trace(h)
+        for row in seg:
+            assert [int(nat[i][0]), int(nat[i][1])] == [
+                row[0].value, row[1].value
+            ], f"row {i} diverges"
+            i += 1
+        h = seg[-1][0]
+    # and the wired-in model path actually returns the same rows
+    air = RescueChainAir(L)
+    rows = air.trace(FieldElement(x))
+    assert [[e.value for e in r] for r in rows] == [
+        [int(a), int(b)] for a, b in nat
+    ]
+    assert air.chain(FieldElement(x)) == rows[-1][0]
+
+
 def test_trace_shape_and_crossings():
     air = RescueChainAir(3)
     trace = air.trace(FieldElement(7))
