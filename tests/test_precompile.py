@@ -66,11 +66,14 @@ def _driver():
 def test_precompile_covers_real_prove():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # the driver pins cpu itself
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         capture_output=True,
         text=True,
         timeout=1500,
+        cwd=repo_root,
         env=env,
     )
     assert proc.returncode == 0, (
