@@ -46,6 +46,7 @@ from typing import List, Sequence, Tuple
 
 from ..field import FieldElement
 from ..mpoly import MPolynomial
+from ..ntt import poly_square_and_cube
 from ..params import P, RESCUE_N
 from ..poly import Polynomial
 from ..rescue_prime import RescuePrime
@@ -190,8 +191,8 @@ class RescueChainAir:
             for k in range(m):
                 a_lin = a_lin + MPolynomial.constant(rp.MDS_inv[i][k]) * nxt[k]
                 d_poly = d_poly + second[k].scale(rp.MDS_inv[i][k])
-            d_sq = d_poly * d_poly
-            d_cu = d_sq * d_poly
+            sq_c, cu_c = poly_square_and_cube(d_poly.coeffs)
+            d_sq, d_cu = Polynomial(sq_c), Polynomial(cu_c)
 
             # (A - D)^3 = A^3 - 3 A^2 D + 3 A D^2 - D^3
             rhs = a_lin.pow(3)

@@ -66,18 +66,28 @@ class MPolynomial:
         (reference: multivariate_poly.rs:133-146)."""
         if poly.is_zero():
             return MPolynomial.zero()
-        acc = MPolynomial.zero()
+        # direct dict construction: every term's key is unique (the
+        # exponent in `variable_index` differs), so this equals the
+        # reference's term-by-term accumulation — which kept a (0,)
+        # constant key for degree-0 terms via MPolynomial::constant —
+        # without the O(degree^2) dict copying (a chained-permutation
+        # AIR lifts degree-10^5 interpolants; the accumulation was ~48 s
+        # per 8 lifts at L=512 and quadratically worse beyond)
         n = variable_index + 1
+        d = {}
         for i, c in enumerate(poly.coeffs):
             if c == 0 and i != 0:
                 continue
-            exps = [0] * n
-            exps[variable_index] = i
-            # mirror the reference's term-by-term accumulation, which keeps a
-            # (0,) constant key for degree-0 terms via MPolynomial::constant
-            key = (0,) if i == 0 else tuple(exps)
-            acc = acc + MPolynomial({key: c})
-        return acc
+            if i == 0:
+                key = (0,)
+            else:
+                exps = [0] * n
+                exps[variable_index] = i
+                key = tuple(exps)
+            d[key] = c % P
+        out = MPolynomial()
+        out.dict = d
+        return out
 
     # -- predicates -------------------------------------------------------
 

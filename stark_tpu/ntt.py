@@ -218,6 +218,29 @@ class NTT:
         return out[:result_size]
 
 
+def poly_square_and_cube(a: Sequence[int]) -> tuple:
+    """(a^2, a^3) as coefficient lists, with ONE forward transform.
+
+    Chained ``poly_multiply`` calls (a*a, then (a*a)*a) evaluate ``a``
+    three times and round-trip limb packing per product; for the
+    degree-10^5 periodic interpolants of chained-permutation AIRs that
+    dominated constraint assembly.  Evaluating once on a domain sized
+    for degree 3*deg(a) and inverting the pointwise square and cube is
+    exact, hence bit-identical to the chained products."""
+    if not a:
+        return [], []
+    if len(a) <= 32:
+        sq = poly_multiply(a, a)
+        return sq, poly_multiply(sq, a)
+    sq_size = 2 * len(a) - 1
+    cu_size = 3 * len(a) - 2
+    sub = NTT(1 << (cu_size - 1).bit_length())
+    fa = sub.evaluate(a)
+    sq_evals = [x * x % P for x in fa]
+    cu_evals = [s * x % P for s, x in zip(sq_evals, fa)]
+    return sub.inverse(sq_evals)[:sq_size], sub.inverse(cu_evals)[:cu_size]
+
+
 def poly_multiply(a: Sequence[int], b: Sequence[int]) -> List[int]:
     """Product of two coefficient lists (lowest-first), NTT for large sizes."""
     if not a or not b:

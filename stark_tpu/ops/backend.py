@@ -65,11 +65,12 @@ class JaxBackend:
     device_prover_min = 8192
 
     def make_prover_core(self, n: int, offset: int):
-        """Device-resident prover core for one FRI domain (see
-        :mod:`stark_tpu.ops.device_prover`)."""
-        from .device_prover import DeviceProverCore
+        """Device-resident prover core for one FRI domain, shared
+        process-wide (see :func:`stark_tpu.ops.device_prover.get_core`:
+        the giant compiled modules are pure in (n, offset))."""
+        from .device_prover import get_core
 
-        return DeviceProverCore(n, offset)
+        return get_core(n, offset)
 
     def rs_extend(self, coeffs: Sequence[int], n: int, offset: int) -> List[int]:
         """Evaluate the polynomial (coeffs, lowest-first) over the coset

@@ -287,6 +287,27 @@ def degree_probe_with(
 # the core
 # ---------------------------------------------------------------------------
 
+_CORE_CACHE: Dict[Tuple[int, int], "DeviceProverCore"] = {}
+
+
+def get_core(n: int, offset: int) -> "DeviceProverCore":
+    """Process-wide DeviceProverCore per (n, offset).
+
+    The core's jitted executables (RS extend, FRI cascade rounds, device
+    Merkle tree) are pure functions of (n, offset) plus call shapes, and
+    the giant ones cost minutes EACH to compile — or even to re-load
+    from the persistent cache through the remote-compile tunnel.  Two
+    Stark instances with the same FRI domain (e.g. the fibonacci and
+    rescue-chain flagships, both 2^20 on the standard coset) must share
+    one core so the second pays nothing.  All core state is keyed by
+    shape/omega/structure — nothing trace- or proof-specific lives here
+    (per-prove caches stay on the Stark instance)."""
+    key = (n, offset % P)
+    core = _CORE_CACHE.get(key)
+    if core is None:
+        core = _CORE_CACHE[key] = DeviceProverCore(n, offset)
+    return core
+
 
 class DeviceProverCore:
     """Compiled device machinery for one (fri_domain_length, offset)."""

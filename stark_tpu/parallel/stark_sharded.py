@@ -349,6 +349,16 @@ class ShardedBackend(JaxBackend):
     def __init__(self, mesh: Mesh, device_prover_min: int = 4096) -> None:
         self.mesh = mesh
         self.device_prover_min = device_prover_min
+        self._core_cache: dict = {}
 
     def make_prover_core(self, n: int, offset: int) -> ShardedProverCore:
-        return ShardedProverCore(n, offset, self.mesh)
+        # cached per backend (one mesh): Stark instances sharing a FRI
+        # domain share the compiled sharded modules, mirroring
+        # device_prover.get_core's process-wide cache
+        key = (n, offset)
+        core = self._core_cache.get(key)
+        if core is None:
+            core = self._core_cache[key] = ShardedProverCore(
+                n, offset, self.mesh
+            )
+        return core

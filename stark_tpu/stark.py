@@ -863,9 +863,11 @@ class Stark:
             if maker is not None:
                 core = maker(self.fri_domain_length, self.generator.value)
             else:
-                from .ops.device_prover import DeviceProverCore
+                # process-wide per (n, offset): flagship configs sharing a
+                # FRI domain share every compiled giant module
+                from .ops.device_prover import get_core
 
-                core = DeviceProverCore(
+                core = get_core(
                     self.fri_domain_length, self.generator.value
                 )
             self._device_core_cache = core
