@@ -285,6 +285,58 @@ def bench_sharded(max_logn=16):
     return out
 
 
+def bench_models():
+    """Model-family grid (no reference counterpart — the Rust crate has
+    exactly one scenario): witness + prove + verify wall times for each
+    family at host-path sizes, so family-level regressions are visible
+    without the TPU flagships."""
+    from stark_tpu.models.fibonacci import FibonacciStark
+    from stark_tpu.models.mimc import MimcStark
+    from stark_tpu.models.rescue_chain import RescueChainStark
+    from stark_tpu.models.rescue_stark import RescueStark
+    from stark_tpu.rng import DeterministicRandom
+
+    out = {}
+
+    model = RescueStark(rng=DeterministicRandom(1))
+    x = FieldElement(5001)
+    res = model.prove(x)
+    out["rescue_preimage_prove"] = timeit(lambda: model.prove(x), repeat=3)
+    out["rescue_preimage_verify"] = timeit(
+        lambda: model.verify(*res), repeat=3
+    )
+
+    fib = FibonacciStark(1200, rng=DeterministicRandom(2))
+    a = b = FieldElement(1)
+    fres = fib.prove(a, b)
+    out["fibonacci_1200_prove"] = timeit(lambda: fib.prove(a, b), repeat=3)
+    out["fibonacci_1200_verify"] = timeit(
+        lambda: fib.verify(a, b, *fres), repeat=3
+    )
+
+    mimc = MimcStark(1024, rng=DeterministicRandom(3))
+    mres = mimc.prove(FieldElement(7))
+    out["mimc_1024_prove"] = timeit(
+        lambda: mimc.prove(FieldElement(7)), repeat=3
+    )
+    out["mimc_1024_verify"] = timeit(
+        lambda: mimc.verify(FieldElement(7), *mres), repeat=3
+    )
+
+    chain = RescueChainStark(64, rng=DeterministicRandom(4))
+    out["rescue_chain_64_witness"] = timeit(
+        lambda: chain.air.trace(FieldElement(9)), repeat=3
+    )
+    cres = chain.prove(FieldElement(9))
+    out["rescue_chain_64_prove"] = timeit(
+        lambda: chain.prove(FieldElement(9)), repeat=3
+    )
+    out["rescue_chain_64_verify"] = timeit(
+        lambda: chain.verify(*cres), repeat=3
+    )
+    return out
+
+
 SUITES = {
     "field": bench_field,
     "poly": bench_poly,
@@ -292,6 +344,7 @@ SUITES = {
     "stark": bench_stark,
     "ntt": bench_ntt,
     "sharded": bench_sharded,
+    "models": bench_models,
 }
 
 
