@@ -153,6 +153,7 @@ void rescue_chain_trace(u64 in_lo, u64 in_hi, u64 num_hashes,
                         const u64 *mds_limbs, const u64 *const_limbs,
                         u64 n_rounds, u64 alpha_inv_hi, u64 alpha_inv_lo,
                         u64 *out) {
+  if (n_rounds > 64) return; /* rc[] is sized for <= 64 rounds */
   if (!tables_ready) init_tables();
   fe mds[4];
   for (int i = 0; i < 4; i++) {

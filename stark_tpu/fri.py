@@ -203,6 +203,13 @@ class Fri:
         codeword: List[int], alpha: int, offset: int, omega: int
     ) -> List[int]:
         half = len(codeword) // 2
+        if half >= 32:
+            try:  # native two-limb Montgomery kernel (bit-identical)
+                from .native import fieldvec as _fv
+
+                return _fv.fri_fold(codeword, alpha, offset, omega)
+            except ImportError:
+                pass
         inv = _inverse_table(offset, omega, half)
         two_inv = pow(2, -1, P)
         out = [0] * half

@@ -84,6 +84,14 @@ def _ntt_in_place(a: List[int], inverse: bool) -> None:
 #: sizes at/above this run the vectorized numpy host transform
 _NUMPY_NTT_MIN = 4096
 
+try:  # native two-limb Montgomery kernels (~5-10x over the Python loops)
+    from .native import fieldvec as _fv
+except Exception:  # pragma: no cover - absent/stale .so
+    _fv = None
+
+#: sizes at/above this run the native C transform when available
+_NATIVE_NTT_MIN = 64
+
 
 @lru_cache(maxsize=16)
 def _np_tables(n: int, inverse: bool):
@@ -156,6 +164,8 @@ class NTT:
         """Coefficients -> evaluations at {omega^i}."""
         if len(coeffs) != self.n:
             raise ValueError("input size must match NTT size")
+        if _fv is not None and self.n >= _NATIVE_NTT_MIN:
+            return _fv.ntt_rows([list(coeffs)], False, self.omega.value)[0]
         a = [c % P for c in coeffs]
         if self.n >= _NUMPY_NTT_MIN:
             return _ntt_numpy(a, inverse=False)
@@ -166,6 +176,8 @@ class NTT:
         """Evaluations at {omega^i} -> coefficients (with 1/n scaling)."""
         if len(evals) != self.n:
             raise ValueError("input size must match NTT size")
+        if _fv is not None and self.n >= _NATIVE_NTT_MIN:
+            return _fv.ntt_rows([list(evals)], True, self.omega.value)[0]
         a = [e % P for e in evals]
         if self.n >= _NUMPY_NTT_MIN:
             a = _ntt_numpy(a, inverse=True)
@@ -186,16 +198,34 @@ class NTT:
 
     def coset_evaluate(self, coefficients: Sequence[int], offset: int) -> List[int]:
         """Evaluate at {offset * omega^i}: scale coeff j by offset^j, then NTT."""
-        a = list(coefficients) + [0] * (self.n - len(coefficients))
-        scale = 1
-        for j in range(self.n):
-            if j:
-                scale = scale * offset % P
-                a[j] = a[j] * scale % P
-        return self.forward(a)
+        return self.coset_evaluate_batch([coefficients], offset)[0]
+
+    def coset_evaluate_batch(
+        self, rows: Sequence[Sequence[int]], offset: int
+    ) -> List[List[int]]:
+        """Coset-evaluate many coefficient lists at once (native C path
+        amortizes twiddle/offset tables across the batch)."""
+        padded = [
+            list(row) + [0] * (self.n - len(row)) for row in rows
+        ]
+        if _fv is not None and self.n >= _NATIVE_NTT_MIN:
+            return _fv.ntt_rows(padded, False, self.omega.value, offset % P)
+        out = []
+        for a in padded:
+            scale = 1
+            for j in range(self.n):
+                if j:
+                    scale = scale * offset % P
+                    a[j] = a[j] * scale % P
+            out.append(self.forward(a))
+        return out
 
     def coset_interpolate(self, evaluations: Sequence[int], offset: int) -> List[int]:
         """Inverse of :meth:`coset_evaluate`."""
+        if _fv is not None and self.n >= _NATIVE_NTT_MIN:
+            return _fv.ntt_rows(
+                [list(evaluations)], True, self.omega.value, offset % P
+            )[0]
         a = self.inverse(evaluations)
         inv = pow(offset, -1, P)
         scale = 1

@@ -56,11 +56,42 @@ BoundaryCondition = Tuple[int, int, FieldElement]
 #: (per-point dictionary walks scale with the lifted interpolant degree)
 BIG_AIR_DICT = 4096
 
+#: Process-wide trace-independent table caches, keyed by the statement
+#: parameters they derive from (AIR group codewords, transition
+#: zeroifiers, ...).  Stark instances are cheap throwaway objects — a
+#: prover service constructs one per proof — so per-instance caching
+#: re-derives identical tables every prove; sharing them process-wide is
+#: the same decision already made for the compiled device cores
+#: (:func:`stark_tpu.ops.device_prover.get_core`).  Bounded LRU so a
+#: long-lived process proving many distinct statements cannot grow
+#: without bound.
+_SHARED_TABLES: Dict[tuple, dict] = {}
+_SHARED_TABLES_CAP = 8
+
+
+def _shared_table(scope_key: tuple) -> dict:
+    entry = _SHARED_TABLES.get(scope_key)
+    if entry is None:
+        while len(_SHARED_TABLES) >= _SHARED_TABLES_CAP:
+            _SHARED_TABLES.pop(next(iter(_SHARED_TABLES)))
+        entry = _SHARED_TABLES[scope_key] = {}
+    else:  # LRU refresh
+        _SHARED_TABLES.pop(scope_key)
+        _SHARED_TABLES[scope_key] = entry
+    return entry
+
 
 def _batch_inverse(values: Sequence[int]) -> List[int]:
     """Batch modular inversion via Montgomery's running-product trick
     (one pow(-1) for the whole batch).  All values must be nonzero."""
     n = len(values)
+    if n >= 64:
+        try:  # native two-limb Montgomery kernel (bit-identical)
+            from .native import fieldvec as _fv
+
+            return _fv.batch_inverse(values)
+        except ImportError:
+            pass
     prefix = [1] * (n + 1)
     for i in range(n):
         prefix[i + 1] = prefix[i] * values[i] % P
@@ -259,10 +290,19 @@ class Stark:
         repeat verifies at large trace lengths)."""
         return self._tz_poly(self._exemption_list(constraint_index))
 
+    def _tables(self, name: str) -> dict:
+        """Process-wide trace-independent table cache for this statement
+        shape (see :data:`_SHARED_TABLES`)."""
+        return _shared_table((
+            name,
+            self.fri_domain_length,
+            self.generator.value,
+            self.omicron.value,
+            self.original_trace_length,
+        ))
+
     def _tz_poly(self, exemptions: Tuple[int, ...]) -> Polynomial:
-        cache = getattr(self, "_tz_poly_cache", None)
-        if cache is None:
-            cache = self._tz_poly_cache = {}
+        cache = self._tables("tz_poly")
         tz = cache.get(exemptions)
         if tz is None:
             skip = set(exemptions)
@@ -327,8 +367,9 @@ class Stark:
 
         from . import hostops as ho
 
-        pts = getattr(self, "_tz_points_mont", None)
-        if pts is None or pts.shape[1] != m:
+        pts_cache = self._tables("tz_points")
+        pts = pts_cache.get(m)
+        if pts is None:
             # Montgomery power table by doubling: log2(m) vector
             # multiplies, no per-element Python packing loop
             om = self.omicron.value % P
@@ -341,7 +382,7 @@ class Stark:
             # cache as uint32 (the limbs are 32-bit values) — halves the
             # footprint of a 2^24-point table; upcast per block at use
             pts = np.ascontiguousarray(pts[:, :m]).astype(np.uint32)
-            self._tz_points_mont = pts
+            pts_cache[m] = pts
         if kept is not None:
             pts = np.ascontiguousarray(pts[:, kept])
             m = len(kept)
@@ -390,9 +431,7 @@ class Stark:
     ) -> List[int]:
         """Inverted transition-zeroifier codeword over the FRI coset
         (host evaluation path); cached per exemption set."""
-        cache = getattr(self, "_tz_inv_cache", None)
-        if cache is None:
-            cache = self._tz_inv_cache = {}
+        cache = self._tables("tz_inv")
         tz_inv = cache.get(exemptions)
         if tz_inv is None:
             tz_codeword = self._rs_extend(self._tz_poly(exemptions), fri_domain)
@@ -487,6 +526,34 @@ class Stark:
             )
         return [fe.value for fe in poly.eval_domain(fri_domain)]
 
+    def _rs_extend_rows(self, coeff_rows, fri_domain) -> List[List[int]]:
+        """Reed-Solomon-extend many coefficient lists onto the FRI coset
+        in one batched transform when the domain is the standard coset
+        {generator * omega^i} (twiddle/offset tables amortize across the
+        batch); falls back to per-polynomial extension otherwise."""
+        n = self.fri_domain_length
+        device_min = getattr(self.backend, "min_device_size", None)
+        on_device = (
+            self.backend is not None
+            and device_min is not None
+            and n >= device_min
+        )
+        standard = (
+            len(fri_domain) == n
+            and n >= 2
+            and fri_domain[0].value == self.generator.value
+            and fri_domain[1].value
+            == self.generator.value * self.omega.value % P
+        )
+        if on_device or not standard:
+            return [
+                self._rs_extend(Polynomial(row), fri_domain)
+                for row in coeff_rows
+            ]
+        from .ntt import NTT
+
+        return NTT(n).coset_evaluate_batch(coeff_rows, self.generator.value)
+
     def _combination_symbolic(
         self,
         trace_polynomials,
@@ -543,9 +610,7 @@ class Stark:
         AIR is rewritten as sum_m  m(state) * c_m(x)  with c_m univariate
         in x (the round-constant interpolants concentrate there).  Cached
         per AIR content — trace-independent."""
-        cache = getattr(self, "_air_group_cache", None)
-        if cache is None:
-            cache = self._air_group_cache = {}
+        cache = self._tables("air_groups")
         # content-keyed: id() could alias a new object after GC and serve a
         # stale table, silently corrupting transcripts
         key = tuple(sorted(tc.dict.items()))
@@ -559,16 +624,17 @@ class Stark:
                 tail = tuple(exps[1:])
                 g = groups.setdefault(tail, {})
                 g[x_e] = (g.get(x_e, 0) + coeff) % P
-            group_codewords = []
+            tails = []
+            rows = []
             for tail, xdict in groups.items():
                 max_e = max(xdict)
                 coeffs = [0] * (max_e + 1)
                 for e, c in xdict.items():
                     coeffs[e] = c
-                group_codewords.append(
-                    (tail, self._rs_extend(Polynomial(coeffs), fri_domain))
-                )
-            cached = cache[key] = group_codewords
+                tails.append(tail)
+                rows.append(coeffs)
+            codewords = self._rs_extend_rows(rows, fri_domain)
+            cached = cache[key] = list(zip(tails, codewords))
         return cached
 
     def _device_air_group_values(
@@ -627,6 +693,48 @@ class Stark:
         dictionary evaluation."""
         n = self.fri_domain_length
         cached = self._air_groups_extended(tc, fri_domain)
+
+        fvn = None
+        if n >= 256:
+            try:
+                from .native import fieldvec as fvn
+            except ImportError:
+                fvn = None
+        if fvn is not None:
+            # native two-limb Montgomery columns (bit-identical); the
+            # Montgomery-packed group codewords are trace-independent —
+            # cache them beside the int lists
+            mont_cache = self._tables("air_groups_mont")
+            mkey = tuple(sorted(tc.dict.items()))
+            packed = mont_cache.get(mkey)
+            if packed is None:
+                packed = mont_cache[mkey] = [
+                    (tail, fvn.col_from_ints(cw)) for tail, cw in cached
+                ]
+            state_cols = [fvn.col_from_ints(col) for col in state_columns]
+            pc = {}
+
+            def pow_col_fv(i: int, e: int):
+                if e == 1:
+                    return state_cols[i]
+                k = (i, e)
+                if k not in pc:
+                    half = pow_col_fv(i, e // 2)
+                    sq = fvn.col_mul(half, half)
+                    if e & 1:
+                        sq = fvn.col_mul(sq, state_cols[i])
+                    pc[k] = sq
+                return pc[k]
+
+            acc = None
+            for tail, base in packed:
+                term = base
+                for i, e in enumerate(tail):
+                    if e == 0:
+                        continue
+                    term = fvn.col_mul(term, pow_col_fv(i, e))
+                acc = term if acc is None else fvn.col_add(acc, term)
+            return fvn.col_to_ints(acc)
 
         if n >= 4096:
             # vectorized numpy column algebra (bit-identical; see hostops)
@@ -771,6 +879,53 @@ class Stark:
                 cur = cur * base % P
             return out
 
+        fvn = None
+        if n >= 256:
+            try:
+                from .native import fieldvec as fvn
+            except ImportError:
+                fvn = None
+        if fvn is not None:
+            # native Montgomery columns (bit-identical); the x^shift
+            # geometric columns are statement-pure — cache them packed
+            shift_cache = self._tables("shift_cols_mont")
+
+            def shift_col_fv(shift: int):
+                col = shift_cache.get(shift)
+                if col is None:
+                    if shift == 0:
+                        col = fvn.col_from_ints([1] * n)
+                    else:
+                        col = fvn.to_mont_arr(
+                            fvn.geom_series(
+                                pow(omega, shift, P), pow(g, shift, P), n
+                            )
+                        )
+                    shift_cache[shift] = col
+                return col
+
+            comb = fvn.col_scale(
+                fvn.col_from_ints(randomizer_codeword),
+                fvn.mont_scalar(weights[0].value),
+            )
+            widx = 1
+            for codewords, bounds in (
+                (tq_codewords, tq_bounds),
+                (boundary_quotient_codewords, bq_bounds),
+            ):
+                for i, cw in enumerate(codewords):
+                    w1 = fvn.mont_scalar(weights[widx].value)
+                    w2 = fvn.mont_scalar(weights[widx + 1].value)
+                    widx += 2
+                    fvn.comb_term(
+                        comb,
+                        fvn.col_from_ints(cw),
+                        shift_col_fv(max_degree - bounds[i]),
+                        w1,
+                        w2,
+                    )
+            return fvn.col_to_ints(comb)
+
         if n >= 4096:
             # vectorized numpy column algebra (bit-identical; see hostops)
             from . import hostops as ho
@@ -879,10 +1034,11 @@ class Stark:
         c_m univariate (round-constant interpolants concentrate there);
         each c_m is RS-extended once and cached per AIR content (same
         grouping as the host evaluation path)."""
-        cache = getattr(self, "_device_air_cache", None)
-        if cache is None:
-            cache = self._device_air_cache = {}
-        key = tuple(
+        cache = self._tables("device_air_groups")
+        # keyed by the core OBJECT too: plain and sharded cores produce
+        # different array layouts for the same statement shape (and the
+        # reference in the key keeps the core alive, so ids can't alias)
+        key = (core,) + tuple(
             tuple(sorted(tc.dict.items())) for tc in transition_constraints
         )
         entry = cache.get(key)
@@ -913,13 +1069,11 @@ class Stark:
     def _device_tz_inv(self, core, exemptions: Tuple[int, ...] = ()):
         """Inverted transition-zeroifier codeword (trace-independent),
         cached on device per exemption set."""
-        cache = getattr(self, "_device_tz_inv_cache", None)
-        if cache is None:
-            cache = self._device_tz_inv_cache = {}
-        tz_inv = cache.get(exemptions)
+        cache = self._tables("device_tz_inv")
+        tz_inv = cache.get((core, exemptions))
         if tz_inv is None:
             tz_cw = core.extend(self._tz_poly(exemptions).coeffs)
-            tz_inv = cache[exemptions] = core.inverse(tz_cw)
+            tz_inv = cache[(core, exemptions)] = core.inverse(tz_cw)
         return tz_inv
 
     def _combination_device(
