@@ -111,7 +111,9 @@ static fe R2;       /* 2^256 mod p */
 static fe ONE_MONT; /* 2^128 mod p */
 static int fv_tables_ready = 0;
 
-static void fv_init_tables(void) {
+/* Load-time init (no lazy-init data race under concurrent ctypes calls,
+ * which release the GIL). */
+__attribute__((constructor)) static void fv_init_tables(void) {
   fe x = {1, 0};
   for (int i = 0; i < 256; i++) {
     x = fe_add(x, x);

@@ -288,6 +288,16 @@ def degree_probe_with(
 # ---------------------------------------------------------------------------
 
 _CORE_CACHE: Dict[Tuple[int, int], "DeviceProverCore"] = {}
+_CORE_CACHE_LOCK = None
+
+
+def _core_lock():
+    global _CORE_CACHE_LOCK
+    if _CORE_CACHE_LOCK is None:
+        import threading
+
+        _CORE_CACHE_LOCK = threading.Lock()
+    return _CORE_CACHE_LOCK
 
 
 def get_core(n: int, offset: int) -> "DeviceProverCore":
@@ -305,7 +315,13 @@ def get_core(n: int, offset: int) -> "DeviceProverCore":
     key = (n, offset % P)
     core = _CORE_CACHE.get(key)
     if core is None:
-        core = _CORE_CACHE[key] = DeviceProverCore(n, offset)
+        # double-checked lock: precompile work is thread-pooled, and two
+        # threads racing the first lookup would each build (and compile)
+        # a separate core, leaving one unshared
+        with _core_lock():
+            core = _CORE_CACHE.get(key)
+            if core is None:
+                core = _CORE_CACHE[key] = DeviceProverCore(n, offset)
     return core
 
 

@@ -90,13 +90,25 @@ def stark_precompile_jobs(stark, transition_constraints, trace_length: int):
     m_trace = trace_length + stark.num_randomizers
     full = (NUM_LIMBS, n)
 
-    # GIANTS FIRST: the device Merkle tree and the fused FRI cascade
-    # rounds are by far the largest modules (tens of MB serialized,
-    # 15+ min cold compiles through the tunnel) — they must enter the
-    # pool before the small jobs so they define the critical path
-    # instead of extending it (round-3 forensics: queued behind small
-    # NTT jobs they pushed a cold warm-up past 23 minutes)
+    # SLOWEST FIRST: the fused trace interpolation, the FRI cascade
+    # rounds and the device Merkle tree are the largest modules (tens of
+    # MB serialized, minutes each cold through the tunnel) — they must
+    # enter the pool before the small jobs so they define the critical
+    # path instead of extending it (round-3 forensics: the 598 s interp
+    # module started ~950 s in because it was queued mid-list)
     phase1: List[Tuple[str, Callable[[], object]]] = []
+
+    if m_trace > 256 and hasattr(core, "extend_mont"):
+        from .geometric_device import device_geometric_interpolate
+
+        omicron = stark.omicron.value
+
+        def interp():
+            return device_geometric_interpolate(
+                _zeros((NUM_LIMBS, m_trace)), 1, omicron
+            )
+
+        phase1.append(("interp", interp))
 
     device_floor = max(DEVICE_TREE_MIN, 2 * TAIL_WIDTH)
     if n >= device_floor:
@@ -128,24 +140,12 @@ def stark_precompile_jobs(stark, transition_constraints, trace_length: int):
 
             phase1.append((f"cascade_r{r}", cascade))
 
+    phase1.append(("mont_inv", lambda: fo.mont_inv(_zeros(full))))
     phase1.append(("ext", lambda: core._ext_jit(_zeros(full), core._fwd_tabs)))
     phase1.append(
         ("ext_mont", lambda: core._ext_mont_jit(
             _zeros((NUM_LIMBS, m_trace)), core._fwd_tabs))
     )
-    phase1.append(("mont_inv", lambda: fo.mont_inv(_zeros(full))))
-
-    if m_trace > 256 and hasattr(core, "extend_mont"):
-        from .geometric_device import device_geometric_interpolate
-
-        omicron = stark.omicron.value
-
-        def interp():
-            return device_geometric_interpolate(
-                _zeros((NUM_LIMBS, m_trace)), 1, omicron
-            )
-
-        phase1.append(("interp", interp))
 
     def probe():
         k_tc = len(transition_constraints)

@@ -355,7 +355,7 @@ class ShardedBackend(JaxBackend):
         # cached per backend (one mesh): Stark instances sharing a FRI
         # domain share the compiled sharded modules, mirroring
         # device_prover.get_core's process-wide cache
-        key = (n, offset)
+        key = (n, offset % P)  # same normalization as device_prover.get_core
         core = self._core_cache.get(key)
         if core is None:
             core = self._core_cache[key] = ShardedProverCore(

@@ -62,6 +62,24 @@ def test_exempted_restarts_prove_and_verify():
     assert not plain.verify(proof, air, boundary)
 
 
+def test_mismatched_exemption_list_rejects():
+    """Exemptions are statement parameters (like expansion_factor):
+    nothing in the proof bytes encodes them, so a verifier configured
+    with a DIFFERENT exemption list checks a different statement and
+    must reject an honest proof for this one."""
+    air = FibonacciAir(1).transition_constraints()
+    stark = _stark(len(TRACE), EXEMPT)
+    boundary = _boundary(TRACE)
+    proof = stark.prove(TRACE, air, boundary)
+    assert stark.verify(proof, air, boundary)
+    # superset list (one extra exempted cycle)
+    superset = _stark(len(TRACE), EXEMPT + [3])
+    assert not superset.verify(proof, air, boundary)
+    # disjoint list of the same size
+    shifted = _stark(len(TRACE), [SEG, 2 * SEG])
+    assert not shifted.verify(proof, air, boundary)
+
+
 def test_unexempted_restart_breaks_the_prover():
     air = FibonacciAir(1).transition_constraints()
     stark = _stark(len(TRACE), ())

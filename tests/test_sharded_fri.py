@@ -1,18 +1,30 @@
-"""Sharded FRI prover: byte-identical transcripts to the host prover,
-on an 8-virtual-device CPU mesh."""
+"""Sharded FRI proving through the production path (ShardedProverCore +
+Fri._prove_device): byte-identical transcripts to the host prover, on an
+8-virtual-device CPU mesh.
+
+Round 3 review: the standalone ShardedFriProver (which gathered every
+per-round codeword whole to one host) was superseded dead weight; these
+tests pin the SAME transcript-identity guarantees on the real sharded
+pipeline instead (reference FRI semantics: fri.rs:100-254)."""
 
 import random
 
 from stark_tpu.field import FieldElement
 from stark_tpu.fri import Fri
-from stark_tpu.params import P
+from stark_tpu.params import GENERATOR, P
 from stark_tpu.parallel import cpu_mesh
-from stark_tpu.parallel.fri_sharded import ShardedFriProver
+from stark_tpu.parallel.stark_sharded import ShardedProverCore
 from stark_tpu.poly import Polynomial
 from stark_tpu.proof_stream import ProofStream
 
 
-def test_sharded_fri_transcript_identical():
+def _host_transcript(fri, codeword):
+    ps = ProofStream()
+    idx = fri.prove(codeword, ps)
+    return idx, ps
+
+
+def test_sharded_core_fri_transcript_identical():
     n = 1 << 12
     expansion, tests = 4, 8
     omega = FieldElement.primitive_nth_root(n)
@@ -21,16 +33,15 @@ def test_sharded_fri_transcript_identical():
     rng = random.Random(0)
     degree = n // expansion - 1
     coeffs = [rng.randrange(P) for _ in range(degree + 1)]
-    poly = Polynomial(coeffs)
-    codeword = poly.eval_domain(fri.eval_domain())
+    codeword = Polynomial(coeffs).eval_domain(fri.eval_domain())
 
-    ps_host = ProofStream()
-    idx_host = fri.prove(codeword, ps_host)
+    idx_host, ps_host = _host_transcript(fri, codeword)
 
     mesh = cpu_mesh(8)
-    sharded = ShardedFriProver(fri, mesh)
+    core = ShardedProverCore(n, GENERATOR, mesh)
+    dcw = core.extend_codeword(coeffs)
     ps_dev = ProofStream()
-    idx_dev = sharded.prove_coefficients(coeffs, ps_dev)
+    idx_dev = fri._prove_device(dcw, ps_dev)
 
     assert idx_dev == idx_host
     assert ps_dev.serialize() == ps_host.serialize()
@@ -49,33 +60,30 @@ def test_sharded_extension_matches_host():
     )
     rng = random.Random(1)
     coeffs = [rng.randrange(P) for _ in range(n // 4)]
-    mesh = cpu_mesh(4)
-    sharded = ShardedFriProver(fri, mesh)
-    cw_dev = sharded.extend_coefficients(coeffs)
-    got = sharded._natural_from_device(cw_dev)
+    core = ShardedProverCore(n, GENERATOR, cpu_mesh(4))
+    got = core.extend_codeword(coeffs).to_list()
     want = [
         fe.value for fe in Polynomial(coeffs).eval_domain(fri.eval_domain())
     ]
     assert got == want
 
 
-def test_sharded_fri_exhausts_device_folds():
-    """With few colinearity tests the fold cascade outruns the C axis
-    (more FRI rounds than log2(C)); the tail falls back to host folds and
-    the transcript must still match the host prover exactly."""
+def test_sharded_core_fri_long_cascade():
+    """With few colinearity tests there are more FRI rounds than the
+    device path covers; the host tail takes over and the transcript must
+    still match the host prover exactly."""
     n = 1 << 12
     fri = Fri(FieldElement.generator(), FieldElement.primitive_nth_root(n),
               n, 4, 2)
-    assert fri.num_rounds() == 9  # folds (8) > log2(C) for the 8-dev split
+    assert fri.num_rounds() == 9
 
     rng = random.Random(5)
     coeffs = [rng.randrange(P) for _ in range(n // 4)]
     codeword = Polynomial(coeffs).eval_domain(fri.eval_domain())
 
-    ps_host = ProofStream()
-    fri.prove(codeword, ps_host)
+    _, ps_host = _host_transcript(fri, codeword)
 
-    sharded = ShardedFriProver(fri, cpu_mesh(8))
+    core = ShardedProverCore(n, GENERATOR, cpu_mesh(8))
     ps_dev = ProofStream()
-    sharded.prove_coefficients(coeffs, ps_dev)
+    fri._prove_device(core.extend_codeword(coeffs), ps_dev)
     assert ps_dev.serialize() == ps_host.serialize()
