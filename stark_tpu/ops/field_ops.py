@@ -44,7 +44,10 @@ from ..params import (
 )
 from .limbs import limbs_of
 
-_MASK = jnp.uint32(LIMB_MASK)
+# np (not jnp) scalar: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks multi-process bring-up
+# (jax.distributed.initialize must run before any backend use)
+_MASK = np.uint32(LIMB_MASK)
 _P_LIMBS = tuple(limbs_of(P))
 _R2 = np.array(limbs_of(R2_MOD_P), dtype=np.uint32)
 _R1 = np.array(limbs_of(R_MOD_P), dtype=np.uint32)

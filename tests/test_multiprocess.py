@@ -1,0 +1,29 @@
+"""Multi-process (2 controllers x 4 CPU devices) mesh bring-up:
+jax.distributed.initialize via stark_tpu.parallel.mesh.init_distributed,
+and a sharded NTT over the process-spanning mesh, bit-identical to the
+host model.  Runs benches/multiprocess_mesh.py as subprocesses (the
+coordinator/worker topology cannot live inside the test process)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_mesh_bit_identical():
+    env = dict(os.environ)
+    env["STARK_TPU_MP_LOGN"] = "12"
+    env["STARK_TPU_MP_PORT"] = "52719"
+    # a fresh interpreter: the parent test process has a CPU backend up,
+    # but the workers must initialize jax.distributed first
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benches", "multiprocess_mesh.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MULTIPROCESS_OK" in out.stdout
+    assert '"ntt_bit_identical": true' in out.stdout
