@@ -156,24 +156,24 @@ def blake2b256_single_block(m, t, unroll=None):
 
     Two round schedules:
 
-    * ``unroll=True`` (default on accelerators): the 12 rounds are
+    * ``unroll=False`` (default EVERYWHERE): a ``lax.fori_loop`` whose
+      body is ONE round, message words gathered through the SIGMA
+      table.  On XLA:CPU a fully unrolled compress makes compile time
+      explode superlinearly past ~2 rounds; on the TPU the rolled form
+      measured BOTH 21x faster to compile AND 1.6x faster at runtime
+      (2^20 tree: 22.5 s compile / 844 ms vs 481 s / 1329 ms unrolled —
+      benches/tree_compile_experiment.py).  The round-2 fear about
+      per-round message gathers was wrong on this hardware.
+    * ``unroll=True`` (opt-in via STARK_TPU_MERKLE_UNROLL=1): rounds
       unrolled at trace time with the SIGMA permutation applied
-      STATICALLY — no (16, 2, w) message materialization, no per-round
-      gather (12 gathers of a 128 MB array at w = 2^20), and ``_ZERO``
-      message words skip their adds entirely (12 of 16 leaf-message
-      words are zero).
-    * ``unroll=False`` (default on CPU): a ``lax.fori_loop`` whose body
-      is ONE round, message words gathered through the SIGMA table — a
-      fully unrolled compress makes XLA:CPU's compile time explode
-      superlinearly past ~2 rounds (measured: 1 round 0.3 s, 2 rounds
-      1.1 s, 4 rounds minutes+ — optimization barriers do NOT cap it).
+      statically; kept for A/B measurement.
     """
     if unroll is None:
         env = os.environ.get("STARK_TPU_MERKLE_UNROLL")
         if env is not None:
             unroll = env != "0"
         else:
-            unroll = jax.default_backend() != "cpu"
+            unroll = False
     shape = None
     for word in m:
         if word is not _ZERO:

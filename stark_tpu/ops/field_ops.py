@@ -330,6 +330,33 @@ def mont_pow_fixed(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
         e >>= 4
     digits.reverse()  # MSB-first; digits[0] != 0
 
+    if jax.default_backend() != "cpu":
+        # accelerators: ONE scan over the hex digits, the table entry
+        # gathered dynamically per step.  The unrolled digit loop made
+        # every consumer a giant module (mont_inv at 2^20 alone cost
+        # ~80 s to compile; the fused interpolation, which inlines two
+        # of these, ~600 s) — the rolled form compiles in seconds and
+        # the per-step (15, 8, n) gather is ~1 GB of HBM traffic at
+        # 2^20, noise next to the multiplies.  (The one-multiply-per-
+        # scan-body rule below is an XLA:CPU fusion cliff; the TPU
+        # backend handles a 5-multiply body fine.)
+        table = jnp.stack(powers)  # (15, 8, n)
+        digit_arr = jnp.asarray(
+            np.array(digits[1:], dtype=np.int32)
+        )
+
+        def dstep(acc, d):
+            for _ in range(4):
+                acc = _mont_mul_raw(acc, acc)
+            sel = jax.lax.dynamic_index_in_dim(
+                table, jnp.maximum(d - 1, 0), keepdims=False
+            )
+            mult = _mont_mul_raw(acc, sel)
+            return jnp.where(d > 0, mult, acc), None
+
+        acc, _ = jax.lax.scan(dstep, powers[digits[0] - 1], digit_arr)
+        return acc
+
     def sqr4(acc):
         # four squarings as one tiny single-multiply scan (keeps every
         # scan body at one mont_mul; see the fusion-cliff note above)
@@ -340,8 +367,8 @@ def mont_pow_fixed(a: jnp.ndarray, exponent: int) -> jnp.ndarray:
         return out
 
     # per hex digit: 4 squarings, then a multiply by a STATIC table entry
-    # (the exponent is static, so no per-step gathers — a dynamic-indexed
-    # table variant measured slower on TPU than the multiplies it saved)
+    # (XLA:CPU keeps the unrolled schedule: every scan body must stay at
+    # one multiply there)
     acc = powers[digits[0] - 1]
     for d in digits[1:]:
         acc = sqr4(acc)
