@@ -375,6 +375,33 @@ int fv_coset_ntt_batch(u64 *data, u64 batch, u64 n, u64 om_lo, u64 om_hi,
   return 0;
 }
 
+/* Multi-point Horner evaluation: out[t] = p(xs[t]) for a coefficient
+ * vector (lowest-first) of length n; plain residues in/out.  (k+1)*n
+ * Montgomery multiplies — the memory-light alternative to RS-extending
+ * a whole coset to read k points. */
+int fv_poly_eval_many(const u64 *coeffs, u64 n, const u64 *xs, u64 k,
+                      u64 *out) {
+  if (!fv_tables_ready) fv_init_tables();
+  if (n == 0) {
+    for (u64 t = 0; t < k; t++) {
+      out[2 * t] = 0;
+      out[2 * t + 1] = 0;
+    }
+    return 0;
+  }
+  fe *cm = malloc(sizeof(fe) * n);
+  if (!cm) return -2;
+  for (u64 j = 0; j < n; j++) cm[j] = to_mont(load_fe(coeffs + 2 * j));
+  for (u64 t = 0; t < k; t++) {
+    fe x = to_mont(load_fe(xs + 2 * t));
+    fe acc = cm[n - 1];
+    for (u64 j = n - 1; j-- > 0;) acc = fe_add(mont_mul(acc, x), cm[j]);
+    store_fe(out + 2 * t, from_mont(acc));
+  }
+  free(cm);
+  return 0;
+}
+
 /* FRI fold: out[i] = 2^{-1} * ((1 + alpha*inv_i)*cw[i]
  *                              + (1 - alpha*inv_i)*cw[i + half])
  * with inv_i = (offset * omega^i)^{-1}; plain residues in/out

@@ -43,6 +43,8 @@ try:
     _lib.fv_fri_fold.restype = _int
     _lib.fv_batch_inverse.argtypes = [_u64p, _u64p, _u64]
     _lib.fv_batch_inverse.restype = _int
+    _lib.fv_poly_eval_many.argtypes = [_u64p, _u64, _u64p, _u64, _u64p]
+    _lib.fv_poly_eval_many.restype = _int
     _lib.fv_to_mont.argtypes = [_u64p, _u64]
     _lib.fv_from_mont.argtypes = [_u64p, _u64]
     _lib.fv_mul_mont.argtypes = [_u64p, _u64p, _u64p, _u64]
@@ -124,6 +126,19 @@ def fri_fold(codeword: Sequence[int], alpha: int, offset: int,
     rc = _lib.fv_fri_fold(_ptr(cw), n, al, ah, fl, fh, ol, oh, _ptr(out))
     if rc != 0:
         raise ValueError(f"fv_fri_fold failed (rc={rc}, n={n})")
+    return unpack_pairs(out)
+
+
+def poly_eval_many(coeffs: Sequence[int], xs: Sequence[int]) -> List[int]:
+    """[p(x) for x in xs] for a lowest-first coefficient list (native
+    multi-point Horner; bit-identical to the Python model)."""
+    c = pack_pairs(coeffs)
+    x = pack_pairs(xs)
+    out = np.empty((len(xs), 2), dtype=np.uint64)
+    rc = _lib.fv_poly_eval_many(_ptr(c), len(coeffs), _ptr(x), len(xs),
+                                _ptr(out))
+    if rc != 0:
+        raise ValueError(f"fv_poly_eval_many failed (rc={rc})")
     return unpack_pairs(out)
 
 

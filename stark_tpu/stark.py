@@ -616,6 +616,19 @@ class Stark:
         key = tuple(sorted(tc.dict.items()))
         cached = cache.get(key)
         if cached is None:
+            tails, rows = self._air_group_rows(tc)
+            codewords = self._rs_extend_rows(rows, fri_domain)
+            cached = cache[key] = list(zip(tails, codewords))
+        return cached
+
+    def _air_group_rows(self, tc: MPolynomial):
+        """The grouped-monomial decomposition itself: (tails, coefficient
+        rows) with the AIR rewritten as sum_m m(state) * c_m(x); cached
+        per AIR content (shared by the extension and point-eval paths)."""
+        cache = self._tables("air_group_rows")
+        key = tuple(sorted(tc.dict.items()))
+        cached = cache.get(key)
+        if cached is None:
             groups = {}
             for exps, coeff in tc.dict.items():
                 if coeff == 0:
@@ -633,9 +646,34 @@ class Stark:
                     coeffs[e] = c
                 tails.append(tail)
                 rows.append(coeffs)
-            codewords = self._rs_extend_rows(rows, fri_domain)
-            cached = cache[key] = list(zip(tails, codewords))
+            cached = cache[key] = (tuple(tails), tuple(rows))
         return cached
+
+    def _air_group_point_values(self, tc: MPolynomial, indices):
+        """Per group, (tail, {index: c_m(g * omega^index)}) — the
+        verify-only alternative to RS-extending every group polynomial
+        over the whole FRI coset just to read a handful of query points
+        (a multi-GB transient at flagship sizes).  (k+1)*deg Montgomery
+        multiplies per group via the native multi-point Horner kernel;
+        values are identical to the extended codeword's entries."""
+        tails, rows = self._air_group_rows(tc)
+        g = self.generator.value
+        omega = self.omega.value
+        idx = sorted(set(int(i) for i in indices))
+        xs = [g * pow(omega, i, P) % P for i in idx]
+        try:
+            from .native import fieldvec as fvn
+        except ImportError:
+            fvn = None
+        out = []
+        for tail, coeffs in zip(tails, rows):
+            if fvn is not None:
+                vals = fvn.poly_eval_many(list(coeffs), xs)
+            else:
+                poly = Polynomial(list(coeffs))
+                vals = [poly.eval(FieldElement(x)).value for x in xs]
+            out.append((tail, dict(zip(idx, vals))))
+        return out
 
     def _device_air_group_values(
         self, transition_constraints, big, indices
@@ -1634,23 +1672,16 @@ class Stark:
             if air_group_vals is None:
                 air_group_vals = [None] * len(transition_constraints)
             if not any(air_group_vals):
-                # host path: cached full coset extensions of the grouped
-                # coefficient polys
-                fri_domain_pts = (
-                    self.fri.eval_domain() if self.backend is None else None
-                )
-                air_group_vals = []
-                for s, tc in enumerate(transition_constraints):
-                    if not big[s]:
-                        air_group_vals.append(None)
-                        continue
-                    groups = self._air_groups_extended(tc, fri_domain_pts)
-                    air_group_vals.append(
-                        [
-                            (tail, {i: cw[i] for i in indices})
-                            for tail, cw in groups
-                        ]
-                    )
+                # host path: direct multi-point evaluation of the grouped
+                # coefficient polys at the query points — never
+                # materializes whole FRI-domain codewords (a multi-GB
+                # transient at flagship sizes for a verify-only caller)
+                air_group_vals = [
+                    self._air_group_point_values(tc, indices)
+                    if big[s]
+                    else None
+                    for s, tc in enumerate(transition_constraints)
+                ]
 
         for pos, current_index in enumerate(indices):
             domain_current_index = domain_points[pos]

@@ -106,6 +106,22 @@ def test_fri_fold_matches_host():
     assert fv.fri_fold(cw, alpha, GENERATOR, omega) == want
 
 
+def test_poly_eval_many():
+    rng = np.random.default_rng(14)
+    coeffs = _rand_residues(rng, 300)
+    xs = _rand_residues(rng, 9)
+
+    def horner(x):
+        acc = 0
+        for c in reversed(coeffs):
+            acc = (acc * x + c) % P
+        return acc
+
+    assert fv.poly_eval_many(coeffs, xs) == [horner(x) for x in xs]
+    assert fv.poly_eval_many([], xs) == [0] * 9
+    assert fv.poly_eval_many([7], xs) == [7] * 9
+
+
 def test_batch_inverse():
     rng = np.random.default_rng(12)
     vals = [int(v) % P or 1 for v in rng.integers(1, 1 << 62, 300)]
