@@ -261,6 +261,14 @@ def leaf_digests(mont: jnp.ndarray):
     bincode(FieldElement) leaves (single Blake2b block each)."""
     plain = fo.from_mont(mont)
     d = [plain[2 * j] | (plain[2 * j + 1] << 16) for j in range(4)]
+    return leaf_digests_from_digits(d)
+
+
+def leaf_digests_from_digits(d):
+    """Same, from the 4 plain base-2^32 digit rows ((4, w) array or a
+    list of 4 (w,) rows)."""
+    if not isinstance(d, (list, tuple)):
+        d = [d[i] for i in range(4)]
     one = jnp.uint32(1)
     k = jnp.where(
         d[3] != 0, jnp.uint32(4),
@@ -294,6 +302,13 @@ def level_hash(child_rows):
     return blake2b256_single_block(m, 64)
 
 
+def _use_pallas_tree(n: int) -> bool:
+    env = os.environ.get("STARK_TPU_PALLAS_MERKLE")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu" and n % 2048 == 0 and n >= 2048
+
+
 def tree_arrays_with_root(mont: jnp.ndarray, n: int):
     """Traceable whole-tree build INCLUDING the root: returns
     ``(levels, root_words)`` where ``levels`` are the stacked (8, w)
@@ -301,7 +316,21 @@ def tree_arrays_with_root(mont: jnp.ndarray, n: int):
     for query openings) and ``root_words`` is the (8,) uint32 root —
     the fused FRI cascade hashes all the way up on the device so the
     per-round host fetch (tail + top hashing) disappears from the
-    commit critical path."""
+    commit critical path.
+
+    On TPU the hashing runs in the Pallas kernels
+    (:mod:`stark_tpu.ops.pallas_merkle` — compress fully in registers,
+    ~4x the XLA path); bytes are identical either way (the kernels
+    trace the same compress function; pinned in interpret mode by
+    tests/test_pallas_merkle.py)."""
+    if _use_pallas_tree(n):
+        from .pallas_merkle import tree_levels
+
+        plain = fo.from_mont(mont)
+        digits = jnp.stack(
+            [plain[2 * j] | (plain[2 * j + 1] << 16) for j in range(4)]
+        )
+        return tree_levels(digits, TAIL_WIDTH)
     rows = leaf_digests(mont)
     out = [jnp.stack(rows)]
     w = n
