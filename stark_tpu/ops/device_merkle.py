@@ -80,15 +80,29 @@ _ZERO = 0  # sentinel for all-zero message words (their adds are skipped)
 
 
 def _c(x):
-    """u64 constant as a (lo, hi) pair of uint32 scalars (traced as
-    constants and folded by XLA)."""
-    return (
-        jnp.asarray(x & 0xFFFFFFFF, dtype=jnp.uint32),
-        jnp.asarray((x >> 32) & 0xFFFFFFFF, dtype=jnp.uint32),
-    )
+    """u64 constant as a (lo, hi) pair of PYTHON ints: they fold into
+    the array ops as immediates, so a compress traced inside a Pallas
+    kernel captures no jnp constants (Mosaic rejects captured arrays).
+    The int/array mixed cases below keep exact u32 wrap semantics."""
+    return (x & 0xFFFFFFFF, (x >> 32) & 0xFFFFFFFF)
+
+
+def _is_int(x) -> bool:
+    return isinstance(x, (int, np.integer))
+
+
+def _u32(x):
+    """Coerce a Python-int half to a typed u32 scalar for array ops
+    (a bare int >= 2^31 overflows jax's weak-int32 scalar path)."""
+    return np.uint32(x) if _is_int(x) else x
 
 
 def _add(a, b):
+    if _is_int(a[0]) and _is_int(b[0]):
+        s = int(a[0]) + int(b[0])
+        return s & 0xFFFFFFFF, (int(a[1]) + int(b[1]) + (s >> 32)) & 0xFFFFFFFF
+    a = (_u32(a[0]), _u32(a[1]))
+    b = (_u32(b[0]), _u32(b[1]))
     lo = a[0] + b[0]
     carry = (lo < b[0]).astype(jnp.uint32)
     return lo, a[1] + b[1] + carry
@@ -102,7 +116,9 @@ def _add3(a, b, x):
 
 
 def _xor(a, b):
-    return a[0] ^ b[0], a[1] ^ b[1]
+    if _is_int(a[0]) and _is_int(b[0]):
+        return int(a[0]) ^ int(b[0]), int(a[1]) ^ int(b[1])
+    return _u32(a[0]) ^ _u32(b[0]), _u32(a[1]) ^ _u32(b[1])
 
 
 def _rotr32(a):
@@ -111,16 +127,31 @@ def _rotr32(a):
 
 def _rotr24(a):
     lo, hi = a
+    if _is_int(lo) and _is_int(hi):
+        return (
+            ((lo >> 24) | (hi << 8)) & 0xFFFFFFFF,
+            ((hi >> 24) | (lo << 8)) & 0xFFFFFFFF,
+        )
     return (lo >> 24) | (hi << 8), (hi >> 24) | (lo << 8)
 
 
 def _rotr16(a):
     lo, hi = a
+    if _is_int(lo) and _is_int(hi):
+        return (
+            ((lo >> 16) | (hi << 16)) & 0xFFFFFFFF,
+            ((hi >> 16) | (lo << 16)) & 0xFFFFFFFF,
+        )
     return (lo >> 16) | (hi << 16), (hi >> 16) | (lo << 16)
 
 
 def _rotr63(a):
     lo, hi = a
+    if _is_int(lo) and _is_int(hi):
+        return (
+            ((lo << 1) | (hi >> 31)) & 0xFFFFFFFF,
+            ((hi << 1) | (lo >> 31)) & 0xFFFFFFFF,
+        )
     return (lo << 1) | (hi >> 31), (hi << 1) | (lo >> 31)
 
 
@@ -146,7 +177,7 @@ _SIGMA_FULL = np.asarray(
 )
 
 
-def blake2b256_single_block(m, t, unroll=None):
+def blake2b256_single_block(m, t, unroll=None, sigma=None):
     """Vectorized single-final-block Blake2b-256.
 
     ``m``: 16 message words, each a (lo, hi) pair of (w,) uint32 arrays
@@ -185,8 +216,12 @@ def blake2b256_single_block(m, t, unroll=None):
     h = [_c(_H0)] + [_c(w) for w in _IV[1:]]
     v = list(h) + [_c(w) for w in _IV]
     tlo = t if not isinstance(t, int) else np.uint32(t)
-    v[12] = (v[12][0] ^ tlo, v[12][1])
-    v[14] = (~v[14][0], ~v[14][1])  # final-block flag f0 = ~0
+    v[12] = (_u32(v[12][0]) ^ tlo, v[12][1])
+    # final-block flag f0 = ~0 (mask keeps Python-int constants in u32;
+    # u32 arrays already wrap)
+    v[14] = tuple(
+        (~h_ & 0xFFFFFFFF) if _is_int(h_) else ~h_ for h_ in v[14]
+    )
 
     if unroll:
         vv = list(v)
@@ -222,7 +257,8 @@ def blake2b256_single_block(m, t, unroll=None):
                     ])
                 )
         m_arr = jnp.stack(rows)  # (16, 2, w)
-        sigma = jnp.asarray(_SIGMA_FULL)
+        if sigma is None:
+            sigma = jnp.asarray(_SIGMA_FULL)
         v_arr = jnp.stack([
             jnp.stack([
                 jnp.broadcast_to(jnp.asarray(p[0], jnp.uint32), shape),

@@ -39,8 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .device_merkle import _ZERO, blake2b256_single_block
 
-#: sublane rows of instances per grid block (block = 8 * 128 instances)
-_RB = 8
+import os
+
+#: sublane rows of instances per grid block (block = _RB * 128
+#: instances); measured on v5e at 2^20: RB=16 399 ms/tree vs 8:477,
+#: 32:435, 64:464 (benches/tree_compile_experiment.py)
+_RB = int(os.environ.get("STARK_TPU_MERKLE_RB", "16"))
 
 #: narrowest level the kernels handle: w/2 parents must fill >= 1 lane
 #: tile of 128 and 2 sublane rows after the word-major reshape
@@ -52,37 +56,63 @@ def _out_rows(words) -> jnp.ndarray:
     return jnp.stack(list(words))
 
 
-def _leaf_kernel(d_ref, out_ref):
-    d = [d_ref[i] for i in range(4)]
-    one = jnp.uint32(1)
-    k = jnp.where(
-        d[3] != 0, jnp.uint32(4),
-        jnp.where(d[2] != 0, jnp.uint32(3),
-                  jnp.where(d[1] != 0, jnp.uint32(2),
-                            jnp.where(d[0] != 0, one, jnp.uint32(0)))),
-    )
-    sign = jnp.where(k > 0, jnp.uint32(2), one)  # Plus=2 / NoSign=1
-    t = jnp.uint32(12) + jnp.uint32(4) * k
-    zero = jnp.zeros_like(d[0])
-    m = [
-        (sign, k),
-        (zero, d[0]),
-        (d[1], d[2]),
-        (d[3], zero),
-    ] + [_ZERO] * 12
-    out_ref[...] = _out_rows(blake2b256_single_block(m, t, unroll=True))
+def _leaf_kernel(unroll: bool):
+    # interpret mode (CPU tests) uses the ROLLED compress — the unrolled
+    # trace hits XLA:CPU's compile cliff — with the SIGMA table passed
+    # as a kernel INPUT (a captured jnp constant is rejected); the
+    # compiled TPU path unrolls, where SIGMA folds away statically
+    def kernel(*refs):
+        if unroll:
+            d_ref, out_ref = refs
+            sigma = None
+        else:
+            sigma_ref, d_ref, out_ref = refs
+            sigma = sigma_ref[...]
+        d = [d_ref[i] for i in range(4)]
+        one = jnp.uint32(1)
+        k = jnp.where(
+            d[3] != 0, jnp.uint32(4),
+            jnp.where(d[2] != 0, jnp.uint32(3),
+                      jnp.where(d[1] != 0, jnp.uint32(2),
+                                jnp.where(d[0] != 0, one, jnp.uint32(0)))),
+        )
+        sign = jnp.where(k > 0, jnp.uint32(2), one)  # Plus=2 / NoSign=1
+        t = jnp.uint32(12) + jnp.uint32(4) * k
+        zero = jnp.zeros_like(d[0])
+        m = [
+            (sign, k),
+            (zero, d[0]),
+            (d[1], d[2]),
+            (d[3], zero),
+        ] + [_ZERO] * 12
+        out_ref[...] = _out_rows(
+            blake2b256_single_block(m, t, unroll=unroll, sigma=sigma)
+        )
+
+    return kernel
 
 
-def _level_kernel(e_ref, o_ref, out_ref):
-    left = [e_ref[i] for i in range(8)]
-    right = [o_ref[i] for i in range(8)]
-    m = [
-        (left[0], left[1]), (left[2], left[3]),
-        (left[4], left[5]), (left[6], left[7]),
-        (right[0], right[1]), (right[2], right[3]),
-        (right[4], right[5]), (right[6], right[7]),
-    ] + [_ZERO] * 8
-    out_ref[...] = _out_rows(blake2b256_single_block(m, 64, unroll=True))
+def _level_kernel(unroll: bool):
+    def kernel(*refs):
+        if unroll:
+            e_ref, o_ref, out_ref = refs
+            sigma = None
+        else:
+            sigma_ref, e_ref, o_ref, out_ref = refs
+            sigma = sigma_ref[...]
+        left = [e_ref[i] for i in range(8)]
+        right = [o_ref[i] for i in range(8)]
+        m = [
+            (left[0], left[1]), (left[2], left[3]),
+            (left[4], left[5]), (left[6], left[7]),
+            (right[0], right[1]), (right[2], right[3]),
+            (right[4], right[5]), (right[6], right[7]),
+        ] + [_ZERO] * 8
+        out_ref[...] = _out_rows(
+            blake2b256_single_block(m, 64, unroll=unroll, sigma=sigma)
+        )
+
+    return kernel
 
 
 def _word_major(x: jnp.ndarray) -> jnp.ndarray:
@@ -102,6 +132,16 @@ def _block_spec(rows: int):
     )
 
 
+def _sigma_arr() -> jnp.ndarray:
+    from .device_merkle import _SIGMA_FULL
+
+    return jnp.asarray(_SIGMA_FULL)
+
+
+def _sigma_spec():
+    return pl.BlockSpec((12, 16), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
 def leaf_digests_pallas(
     digits: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
@@ -110,14 +150,23 @@ def leaf_digests_pallas(
     n = digits.shape[1]
     d = _word_major(digits)
     grid = (n // (128 * _RB),)
-    out = pl.pallas_call(
-        _leaf_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, n // 128, 128), jnp.uint32),
-        grid=grid,
-        in_specs=[_block_spec(4)],
-        out_specs=_block_spec(8),
-        interpret=interpret,
-    )(d)
+    if interpret:
+        out = pl.pallas_call(
+            _leaf_kernel(unroll=False),
+            out_shape=jax.ShapeDtypeStruct((8, n // 128, 128), jnp.uint32),
+            grid=grid,
+            in_specs=[_sigma_spec(), _block_spec(4)],
+            out_specs=_block_spec(8),
+            interpret=True,
+        )(_sigma_arr(), d)
+    else:
+        out = pl.pallas_call(
+            _leaf_kernel(unroll=True),
+            out_shape=jax.ShapeDtypeStruct((8, n // 128, 128), jnp.uint32),
+            grid=grid,
+            in_specs=[_block_spec(4)],
+            out_specs=_block_spec(8),
+        )(d)
     return _natural(out)
 
 
@@ -130,14 +179,23 @@ def level_hash_pallas(
     e = _word_major(level[:, 0::2])
     o = _word_major(level[:, 1::2])
     grid = (w // (2 * 128 * _RB),)
-    out = pl.pallas_call(
-        _level_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, w // 256, 128), jnp.uint32),
-        grid=grid,
-        in_specs=[_block_spec(8), _block_spec(8)],
-        out_specs=_block_spec(8),
-        interpret=interpret,
-    )(e, o)
+    if interpret:
+        out = pl.pallas_call(
+            _level_kernel(unroll=False),
+            out_shape=jax.ShapeDtypeStruct((8, w // 256, 128), jnp.uint32),
+            grid=grid,
+            in_specs=[_sigma_spec(), _block_spec(8), _block_spec(8)],
+            out_specs=_block_spec(8),
+            interpret=True,
+        )(_sigma_arr(), e, o)
+    else:
+        out = pl.pallas_call(
+            _level_kernel(unroll=True),
+            out_shape=jax.ShapeDtypeStruct((8, w // 256, 128), jnp.uint32),
+            grid=grid,
+            in_specs=[_block_spec(8), _block_spec(8)],
+            out_specs=_block_spec(8),
+        )(e, o)
     return _natural(out)
 
 
