@@ -92,13 +92,9 @@ def main():
         jnp.zeros(body_len, jnp.uint8), z((8, n // 2)),
     )
 
-    # ext / mont_inv / degree probe / combination
+    # mont_inv / degree probe / combination
     from stark_tpu.ops import field_ops as fo
 
-    total += lowered_size(
-        "ext", lambda a: core._ext_jit.__wrapped__(a, core._fwd_tabs)
-        if hasattr(core._ext_jit, "__wrapped__") else None, z(full),
-    ) if False else 0
     total += lowered_size("mont_inv", fo.mont_inv, z(full))
 
     def probe_two(st, t):
