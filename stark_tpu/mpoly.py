@@ -31,7 +31,7 @@ def _to_int(x: CoeffLike) -> int:
 class MPolynomial:
     """Sparse multivariate polynomial."""
 
-    __slots__ = ("dict",)
+    __slots__ = ("dict", "_content_key", "_degree_bound_cache")
 
     def __init__(self, terms: Dict[Sequence[int], CoeffLike] = None) -> None:
         self.dict: Dict[Exponents, int] = {}
@@ -90,6 +90,28 @@ class MPolynomial:
         return out
 
     # -- predicates -------------------------------------------------------
+
+    def content_key(self) -> tuple:
+        """Compact content fingerprint ``(num_terms, sha256)``, cached on
+        the instance.  Statement-level caches key AIR polynomials by
+        content (object identity can alias after GC); for chained-
+        permutation AIRs the dict holds millions of monomials, and
+        re-sorting plus re-hashing a megatuple per cache LOOKUP
+        dominated repeat verifies.  MPolynomials are treated as frozen
+        once built; the term-count guard invalidates the cache if a
+        caller mutates ``dict`` anyway."""
+        cached = getattr(self, "_content_key", None)
+        if cached is not None and cached[0] == len(self.dict):
+            return cached[1]
+        import hashlib
+
+        h = hashlib.sha256()
+        for exps, coeff in sorted(self.dict.items()):
+            h.update(repr(exps).encode())
+            h.update(coeff.to_bytes(16, "little"))
+        key = (len(self.dict), h.digest())
+        self._content_key = (len(self.dict), key)
+        return key
 
     def is_zero(self) -> bool:
         return all(v == 0 for v in self.dict.values())

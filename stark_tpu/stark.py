@@ -445,13 +445,27 @@ class Stark:
             self.original_trace_length + self.num_randomizers - 1
         ] * (2 * self.num_randomizers)
         maxes = []
+        # cached per constraint OBJECT (walking a chained-permutation
+        # AIR's millions of monomials per call dominated repeat
+        # verifies); the key pins the degree vector, and the term count
+        # guards against post-construction mutation
+        pd_key = (tuple(point_degrees), )
         for a in transition_constraints:
-            sums = []
+            cache = getattr(a, "_degree_bound_cache", None)
+            if cache is None:
+                cache = a._degree_bound_cache = {}
+            hit = cache.get(pd_key)
+            if hit is not None and hit[0] == len(a.dict):
+                maxes.append(hit[1])
+                continue
+            best = None
             for exps in a.dict:
                 # zip truncates to the shorter sequence, as in the reference
                 total = sum(r * l for r, l in zip(point_degrees, exps))
-                sums.append(total)
-            maxes.append(max(sums))
+                if best is None or total > best:
+                    best = total
+            cache[pd_key] = (len(a.dict), best)
+            maxes.append(best)
         return maxes
 
     def transition_quotient_degree_bounds(
@@ -613,7 +627,7 @@ class Stark:
         cache = self._tables("air_groups")
         # content-keyed: id() could alias a new object after GC and serve a
         # stale table, silently corrupting transcripts
-        key = tuple(sorted(tc.dict.items()))
+        key = tc.content_key()
         cached = cache.get(key)
         if cached is None:
             tails, rows = self._air_group_rows(tc)
@@ -626,7 +640,7 @@ class Stark:
         rows) with the AIR rewritten as sum_m m(state) * c_m(x); cached
         per AIR content (shared by the extension and point-eval paths)."""
         cache = self._tables("air_group_rows")
-        key = tuple(sorted(tc.dict.items()))
+        key = tc.content_key()
         cached = cache.get(key)
         if cached is None:
             groups = {}
@@ -743,7 +757,7 @@ class Stark:
             # Montgomery-packed group codewords are trace-independent —
             # cache them beside the int lists
             mont_cache = self._tables("air_groups_mont")
-            mkey = tuple(sorted(tc.dict.items()))
+            mkey = tc.content_key()
             packed = mont_cache.get(mkey)
             if packed is None:
                 packed = mont_cache[mkey] = [
@@ -1077,7 +1091,7 @@ class Stark:
         # different array layouts for the same statement shape (and the
         # reference in the key keeps the core alive, so ids can't alias)
         key = (core,) + tuple(
-            tuple(sorted(tc.dict.items())) for tc in transition_constraints
+            tc.content_key() for tc in transition_constraints
         )
         entry = cache.get(key)
         if entry is None:
