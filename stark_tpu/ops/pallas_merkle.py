@@ -126,9 +126,18 @@ def _natural(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(8, -1)
 
 
-def _block_spec(rows: int):
+def _rb_for(mid: int) -> int:
+    """Sublane block rows for a word-major middle dim of ``mid``
+    (clamped so one block never exceeds the array)."""
+    rb = min(_RB, mid)
+    while mid % rb:
+        rb //= 2
+    return max(rb, 1)
+
+
+def _block_spec(rows: int, rb: int):
     return pl.BlockSpec(
-        (rows, _RB, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (rows, rb, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -149,14 +158,15 @@ def leaf_digests_pallas(
     (bincode(FieldElement) single-block Blake2b-256 leaves)."""
     n = digits.shape[1]
     d = _word_major(digits)
-    grid = (n // (128 * _RB),)
+    rb = _rb_for(n // 128)
+    grid = (n // (128 * rb),)
     if interpret:
         out = pl.pallas_call(
             _leaf_kernel(unroll=False),
             out_shape=jax.ShapeDtypeStruct((8, n // 128, 128), jnp.uint32),
             grid=grid,
-            in_specs=[_sigma_spec(), _block_spec(4)],
-            out_specs=_block_spec(8),
+            in_specs=[_sigma_spec(), _block_spec(4, rb)],
+            out_specs=_block_spec(8, rb),
             interpret=True,
         )(_sigma_arr(), d)
     else:
@@ -164,8 +174,8 @@ def leaf_digests_pallas(
             _leaf_kernel(unroll=True),
             out_shape=jax.ShapeDtypeStruct((8, n // 128, 128), jnp.uint32),
             grid=grid,
-            in_specs=[_block_spec(4)],
-            out_specs=_block_spec(8),
+            in_specs=[_block_spec(4, rb)],
+            out_specs=_block_spec(8, rb),
         )(d)
     return _natural(out)
 
@@ -178,14 +188,15 @@ def level_hash_pallas(
     w = level.shape[1]
     e = _word_major(level[:, 0::2])
     o = _word_major(level[:, 1::2])
-    grid = (w // (2 * 128 * _RB),)
+    rb = _rb_for(w // 256)
+    grid = (w // (2 * 128 * rb),)
     if interpret:
         out = pl.pallas_call(
             _level_kernel(unroll=False),
             out_shape=jax.ShapeDtypeStruct((8, w // 256, 128), jnp.uint32),
             grid=grid,
-            in_specs=[_sigma_spec(), _block_spec(8), _block_spec(8)],
-            out_specs=_block_spec(8),
+            in_specs=[_sigma_spec(), _block_spec(8, rb), _block_spec(8, rb)],
+            out_specs=_block_spec(8, rb),
             interpret=True,
         )(_sigma_arr(), e, o)
     else:
@@ -193,8 +204,8 @@ def level_hash_pallas(
             _level_kernel(unroll=True),
             out_shape=jax.ShapeDtypeStruct((8, w // 256, 128), jnp.uint32),
             grid=grid,
-            in_specs=[_block_spec(8), _block_spec(8)],
-            out_specs=_block_spec(8),
+            in_specs=[_block_spec(8, rb), _block_spec(8, rb)],
+            out_specs=_block_spec(8, rb),
         )(e, o)
     return _natural(out)
 
@@ -211,7 +222,7 @@ def tree_levels(
 
     n = digits.shape[1]
     levels: List[jnp.ndarray] = []
-    if n >= MIN_KERNEL_WIDTH and n % (2 * 128 * _RB) == 0:
+    if n >= MIN_KERNEL_WIDTH and n % 128 == 0:
         cur = leaf_digests_pallas(digits, interpret)
     else:
         from .device_merkle import leaf_digests_from_digits
@@ -220,7 +231,7 @@ def tree_levels(
     levels.append(cur)
     w = n
     while w > 1:
-        if w >= 2 * MIN_KERNEL_WIDTH and (w // 2) % (128 * _RB) == 0:
+        if w >= 2 * MIN_KERNEL_WIDTH and (w // 2) % 128 == 0:
             cur = level_hash_pallas(cur, interpret)
         else:
             cur = jnp.stack(level_hash([cur[i] for i in range(8)]))
