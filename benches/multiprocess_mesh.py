@@ -133,11 +133,12 @@ def worker(pid: int) -> None:
             "dp_proof_digests": [bytes(d).hex()[:16] for d in digs],
             "wall_s_forward": round(dt, 3),
         }
-        os.makedirs(os.path.join(REPO, "benches", "results"), exist_ok=True)
-        with open(
+        out_path = os.environ.get(
+            "STARK_TPU_MP_OUT",
             os.path.join(REPO, "benches", "results", "multiprocess_mesh.json"),
-            "w",
-        ) as f:
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
         print("MULTIPROCESS_OK", json.dumps(result))
 

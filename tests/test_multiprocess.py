@@ -15,6 +15,8 @@ def test_two_process_mesh_bit_identical():
     env = dict(os.environ)
     env["STARK_TPU_MP_LOGN"] = "12"
     env["STARK_TPU_MP_PORT"] = "52719"
+    # don't clobber the committed full-size benchmark result
+    env["STARK_TPU_MP_OUT"] = os.path.join(REPO, ".pytest_cache", "mp.json")
     # a fresh interpreter: the parent test process has a CPU backend up,
     # but the workers must initialize jax.distributed first
     out = subprocess.run(
