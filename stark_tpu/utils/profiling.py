@@ -85,7 +85,14 @@ def chain_time(step, x0, iters: int = 10, repeats: int = 3) -> float:
             x = step(x)
         fetch_scalar(x)
         best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 0.0) / iters
+    # an op faster than the measured fetch floor can make the
+    # subtraction non-positive under rtt noise; report the UNsubtracted
+    # chain time then (a conservative over-estimate, never a div-by-zero
+    # for throughput callers)
+    net = best - rtt
+    if net <= 0.0:
+        net = best
+    return net / iters
 
 
 @contextlib.contextmanager
