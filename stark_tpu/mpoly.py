@@ -28,6 +28,25 @@ def _to_int(x: CoeffLike) -> int:
     return x.value if isinstance(x, FieldElement) else x % P
 
 
+class _FrozenTerms(dict):
+    """Term dict of a fingerprinted MPolynomial.  Once a polynomial's
+    content key has been served to the process-wide statement caches,
+    mutating it in place would silently poison those caches for every
+    Stark instance (a term-count guard alone misses same-count
+    rewrites), so mutation fails loudly instead — build a new
+    MPolynomial for a different constraint."""
+
+    def _frozen(self, *a, **k):
+        raise TypeError(
+            "MPolynomial is frozen: its content fingerprint has been "
+            "handed to statement-level caches; build a new MPolynomial "
+            "instead of mutating this one in place"
+        )
+
+    __setitem__ = __delitem__ = _frozen
+    update = pop = popitem = clear = setdefault = _frozen
+
+
 class MPolynomial:
     """Sparse multivariate polynomial."""
 
@@ -97,12 +116,13 @@ class MPolynomial:
         content (object identity can alias after GC); for chained-
         permutation AIRs the dict holds millions of monomials, and
         re-sorting plus re-hashing a megatuple per cache LOOKUP
-        dominated repeat verifies.  MPolynomials are treated as frozen
-        once built; the term-count guard invalidates the cache if a
-        caller mutates ``dict`` anyway."""
+        dominated repeat verifies.  Serving the fingerprint FREEZES the
+        polynomial (see :class:`_FrozenTerms`): an in-place mutation
+        afterwards would silently corrupt every cache keyed by the stale
+        fingerprint, so it raises instead."""
         cached = getattr(self, "_content_key", None)
-        if cached is not None and cached[0] == len(self.dict):
-            return cached[1]
+        if cached is not None:
+            return cached
         import hashlib
 
         h = hashlib.sha256()
@@ -110,7 +130,8 @@ class MPolynomial:
             h.update(repr(exps).encode())
             h.update(coeff.to_bytes(16, "little"))
         key = (len(self.dict), h.digest())
-        self._content_key = (len(self.dict), key)
+        self.dict = _FrozenTerms(self.dict)
+        self._content_key = key
         return key
 
     def is_zero(self) -> bool:

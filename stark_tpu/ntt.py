@@ -205,6 +205,9 @@ class NTT:
     ) -> List[List[int]]:
         """Coset-evaluate many coefficient lists at once (native C path
         amortizes twiddle/offset tables across the batch)."""
+        for row in rows:
+            if len(row) > self.n:
+                raise ValueError("input size must match NTT size")
         padded = [
             list(row) + [0] * (self.n - len(row)) for row in rows
         ]
@@ -222,6 +225,8 @@ class NTT:
 
     def coset_interpolate(self, evaluations: Sequence[int], offset: int) -> List[int]:
         """Inverse of :meth:`coset_evaluate`."""
+        if len(evaluations) != self.n:
+            raise ValueError("input size must match NTT size")
         if _fv is not None and self.n >= _NATIVE_NTT_MIN:
             return _fv.ntt_rows(
                 [list(evaluations)], True, self.omega.value, offset % P

@@ -19,28 +19,47 @@ Run:  python -m stark_tpu.serve [--port 8080] [--device]
 
 Design notes:
 
-* one `ThreadingHTTPServer`; proving is CPU/TPU-bound and the process-
-  wide caches are thread-safe-by-idempotence (worst case a table is
-  computed twice), so concurrent requests are safe;
-* model instances are cached per (model, statement-shape) so repeat
-  statements reuse trace-independent tables and compiled modules;
+* one `ThreadingHTTPServer` accepts connections concurrently, but heavy
+  work is SINGLE-FLIGHT: one prove (or heavy verify) holds `_work_gate`
+  at a time — concurrent heavy JAX computations collapse this machine
+  (XLA compile grabs every core), so a second request queues for at most
+  ``queue_timeout_s`` and then gets 503 + Retry-After instead of
+  starting a second compile;
+* statement-size ceilings are justified by measured cost: fibonacci /
+  mimc ``steps`` <= 2^16 and rescue-chain ``hashes`` <= 2^12 land on
+  the 2^20 FRI domain that proves in single-digit seconds warm
+  (BENCHMARKS.md flagship grid); one doubling beyond that is a
+  multi-minute cold compile and a multi-GB working set — an easy DoS.
+  Ceilings are constructor/CLI-tunable for operators with headroom;
+* model instances are cached per (model, statement-shape) in a small
+  LRU (the key is client-controlled — an unbounded dict lets a client
+  iterating step counts grow memory without bound);
 * proofs travel as hex; all field elements as decimal strings (they
   exceed every JSON number range);
 * hostile inputs: malformed JSON / unknown models / bad proofs return
   4xx with a reason, never a traceback (the verifier's hardened parser
-  raises `MalformedProofData` on crafted bytes).
+  raises `MalformedProofData` on crafted bytes); ceiling rejections
+  happen BEFORE any model construction or prover work.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Tuple
 
 from .field import FieldElement
 from .params import P
+
+#: Default statement-size ceilings (see module docstring for the cost
+#: measurements that justify them).
+MAX_STEPS = 1 << 16
+MAX_CHAIN_HASHES = 1 << 12
+#: Bound on distinct cached (model, statement-shape) instances.
+MODEL_CACHE_CAP = 8
 
 
 class ServiceError(Exception):
@@ -57,7 +76,7 @@ def _fe(value, name: str) -> FieldElement:
         raise ServiceError(400, f"bad field element for {name!r}")
 
 
-def _int(params: dict, name: str, default=None, lo=1, hi=1 << 24) -> int:
+def _int(params: dict, name: str, default=None, lo=1, hi=MAX_STEPS) -> int:
     v = params.get(name, default)
     if v is None:
         raise ServiceError(400, f"missing parameter {name!r}")
@@ -71,11 +90,23 @@ def _int(params: dict, name: str, default=None, lo=1, hi=1 << 24) -> int:
 
 
 class ProverService:
-    """Model registry + per-statement-shape instance cache."""
+    """Model registry + bounded per-statement-shape instance cache."""
 
-    def __init__(self, backend=None) -> None:
+    def __init__(
+        self,
+        backend=None,
+        max_steps: int = MAX_STEPS,
+        max_chain_hashes: int = MAX_CHAIN_HASHES,
+        queue_timeout_s: float = 30.0,
+    ) -> None:
         self.backend = backend
+        self.max_steps = max_steps
+        self.max_chain_hashes = max_chain_hashes
+        self.queue_timeout_s = queue_timeout_s
         self._models: Dict[tuple, object] = {}
+        self._models_lock = threading.Lock()
+        #: one heavy JAX/prover computation at a time (see module doc)
+        self._work_gate = threading.Lock()
 
     # -- model construction (cached per statement shape) ---------------
 
@@ -83,16 +114,32 @@ class ProverService:
         if kind == "rescue":
             key: Tuple = ("rescue",)
         elif kind == "fibonacci":
-            key = ("fibonacci", _int(params, "steps"))
+            key = ("fibonacci", _int(params, "steps", hi=self.max_steps))
         elif kind == "mimc":
-            key = ("mimc", _int(params, "steps"))
+            key = ("mimc", _int(params, "steps", hi=self.max_steps))
         elif kind == "rescue-chain":
-            key = ("rescue-chain", _int(params, "hashes", hi=1 << 16))
+            key = (
+                "rescue-chain",
+                _int(params, "hashes", hi=self.max_chain_hashes),
+            )
         else:
             raise ServiceError(400, f"unknown model {kind!r}")
-        model = self._models.get(key)
-        if model is None:
-            model = self._models[key] = self._build(kind, key)
+        with self._models_lock:
+            model = self._models.get(key)
+            if model is not None:  # LRU refresh
+                self._models.pop(key, None)
+                self._models[key] = model
+                return model
+        # build outside the lock (construction can be slow); worst case
+        # two threads build the same model and one wins the insert
+        model = self._build(kind, key)
+        with self._models_lock:
+            existing = self._models.get(key)
+            if existing is not None:
+                return existing
+            while len(self._models) >= MODEL_CACHE_CAP:
+                self._models.pop(next(iter(self._models)))
+            self._models[key] = model
         return model
 
     def _build(self, kind: str, key: tuple):
@@ -114,9 +161,26 @@ class ProverService:
 
     # -- API operations -------------------------------------------------
 
+    def _acquire_work_gate(self):
+        """Admission control: wait up to ``queue_timeout_s`` for the
+        single-flight gate, else tell the client to retry later.  Two
+        concurrent heavy JAX computations collapse this host (XLA
+        compile takes every core), so queuing + 503 beats starting."""
+        if not self._work_gate.acquire(timeout=self.queue_timeout_s):
+            raise ServiceError(
+                503, "prover busy; retry later (single-flight admission)"
+            )
+
     def prove(self, req: dict) -> dict:
         kind = req.get("model", "rescue")
-        model = self._model(kind, req)
+        model = self._model(kind, req)  # ceilings enforced HERE, pre-gate
+        self._acquire_work_gate()
+        try:
+            return self._prove_locked(kind, req, model)
+        finally:
+            self._work_gate.release()
+
+    def _prove_locked(self, kind: str, req: dict, model) -> dict:
         t0 = time.perf_counter()
         if kind == "rescue":
             output, proof = model.prove(_fe(req.get("input"), "input"))
@@ -151,6 +215,15 @@ class ProverService:
         outputs = req.get("output")
         if not isinstance(outputs, list) or not outputs:
             raise ServiceError(400, "missing output list")
+        self._acquire_work_gate()
+        try:
+            return self._verify_locked(kind, req, model, proof, outputs)
+        finally:
+            self._work_gate.release()
+
+    def _verify_locked(
+        self, kind: str, req: dict, model, proof: bytes, outputs: list
+    ) -> dict:
         t0 = time.perf_counter()
         if kind == "fibonacci":
             a = _fe(req.get("a", 1), "a")
@@ -188,6 +261,10 @@ def make_server(service: ProverService, host: str, port: int):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if status == 503:
+                self.send_header(
+                    "Retry-After", str(int(service.queue_timeout_s) or 1)
+                )
             self.end_headers()
             self.wfile.write(body)
 
@@ -238,13 +315,32 @@ def main(argv=None) -> None:
         "--device", action="store_true",
         help="attach the JAX/TPU backend (default: host golden path)",
     )
+    ap.add_argument(
+        "--max-steps", type=int, default=MAX_STEPS,
+        help="fibonacci/mimc statement-size ceiling (default 2^16)",
+    )
+    ap.add_argument(
+        "--max-chain-hashes", type=int, default=MAX_CHAIN_HASHES,
+        help="rescue-chain statement-size ceiling (default 2^12)",
+    )
+    ap.add_argument(
+        "--queue-timeout", type=float, default=30.0,
+        help="seconds a request may wait for the single-flight prover "
+             "gate before 503 (default 30)",
+    )
     args = ap.parse_args(argv)
     backend = None
     if args.device:
         from .ops.backend import JaxBackend
 
         backend = JaxBackend()
-    server = make_server(ProverService(backend), args.host, args.port)
+    service = ProverService(
+        backend,
+        max_steps=args.max_steps,
+        max_chain_hashes=args.max_chain_hashes,
+        queue_timeout_s=args.queue_timeout,
+    )
+    server = make_server(service, args.host, args.port)
     print(f"stark_tpu serving on {args.host}:{args.port}", flush=True)
     try:
         server.serve_forever()

@@ -31,6 +31,7 @@ folding, and hashing fan out to the TPU.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Sequence, Tuple
 
 from .field import FieldElement
@@ -57,28 +58,34 @@ BoundaryCondition = Tuple[int, int, FieldElement]
 BIG_AIR_DICT = 4096
 
 #: Process-wide trace-independent table caches, keyed by the statement
-#: parameters they derive from (AIR group codewords, transition
-#: zeroifiers, ...).  Stark instances are cheap throwaway objects — a
-#: prover service constructs one per proof — so per-instance caching
-#: re-derives identical tables every prove; sharing them process-wide is
-#: the same decision already made for the compiled device cores
-#: (:func:`stark_tpu.ops.device_prover.get_core`).  Bounded LRU so a
-#: long-lived process proving many distinct statements cannot grow
-#: without bound.
-_SHARED_TABLES: Dict[tuple, dict] = {}
+#: shape they derive from (AIR group codewords, transition zeroifiers,
+#: ...).  Stark instances are cheap throwaway objects — a prover service
+#: constructs one per proof — so per-instance caching re-derives
+#: identical tables every prove; sharing them process-wide is the same
+#: decision already made for the compiled device cores
+#: (:func:`stark_tpu.ops.device_prover.get_core`).  The LRU is keyed by
+#: statement SHAPE (one entry per statement, each holding every named
+#: table for that shape) so the cap bounds the number of concurrently
+#: cached statements — a single shape uses ~9 distinct table names, and
+#: counting those against the cap would make one workload thrash itself.
+#: Guarded by a lock: serve.py drives this from a threaded HTTP server,
+#: and the refresh/eviction pops are not idempotent.
+_SHARED_TABLES: Dict[tuple, Dict[str, dict]] = {}
 _SHARED_TABLES_CAP = 8
+_SHARED_TABLES_LOCK = threading.Lock()
 
 
-def _shared_table(scope_key: tuple) -> dict:
-    entry = _SHARED_TABLES.get(scope_key)
-    if entry is None:
-        while len(_SHARED_TABLES) >= _SHARED_TABLES_CAP:
-            _SHARED_TABLES.pop(next(iter(_SHARED_TABLES)))
-        entry = _SHARED_TABLES[scope_key] = {}
-    else:  # LRU refresh
-        _SHARED_TABLES.pop(scope_key)
-        _SHARED_TABLES[scope_key] = entry
-    return entry
+def _shared_table(shape_key: tuple, name: str) -> dict:
+    with _SHARED_TABLES_LOCK:
+        entry = _SHARED_TABLES.get(shape_key)
+        if entry is None:
+            while len(_SHARED_TABLES) >= _SHARED_TABLES_CAP:
+                _SHARED_TABLES.pop(next(iter(_SHARED_TABLES)))
+            entry = _SHARED_TABLES[shape_key] = {}
+        else:  # LRU refresh
+            _SHARED_TABLES.pop(shape_key, None)
+            _SHARED_TABLES[shape_key] = entry
+        return entry.setdefault(name, {})
 
 
 def _batch_inverse(values: Sequence[int]) -> List[int]:
@@ -293,13 +300,15 @@ class Stark:
     def _tables(self, name: str) -> dict:
         """Process-wide trace-independent table cache for this statement
         shape (see :data:`_SHARED_TABLES`)."""
-        return _shared_table((
+        return _shared_table(
+            (
+                self.fri_domain_length,
+                self.generator.value,
+                self.omicron.value,
+                self.original_trace_length,
+            ),
             name,
-            self.fri_domain_length,
-            self.generator.value,
-            self.omicron.value,
-            self.original_trace_length,
-        ))
+        )
 
     def _tz_poly(self, exemptions: Tuple[int, ...]) -> Polynomial:
         cache = self._tables("tz_poly")

@@ -116,3 +116,74 @@ def test_hostile_inputs(server_url):
         json.dumps({"model": "fibonacci", "steps": -4}).encode(),
     )
     assert code == 400
+
+
+def test_oversized_statement_rejected_before_prover(server_url):
+    # steps above the ceiling must 400 without constructing a model or
+    # touching the prover (resource hardening, not just parsing)
+    code, body = _post_raw(
+        server_url, "/prove",
+        json.dumps({"model": "fibonacci", "steps": 1 << 20}).encode(),
+    )
+    assert code == 400 and "out of range" in body["error"]
+
+    code, body = _post_raw(
+        server_url, "/prove",
+        json.dumps({"model": "rescue-chain", "hashes": 1 << 13}).encode(),
+    )
+    assert code == 400 and "out of range" in body["error"]
+
+
+def test_oversized_statement_skips_model_construction():
+    svc = ProverService()
+    calls = []
+    svc._build = lambda kind, key: calls.append(key)  # would record any build
+    with pytest.raises(Exception) as e:
+        svc.prove({"model": "fibonacci", "steps": 1 << 20})
+    assert getattr(e.value, "status", None) == 400
+    assert calls == [] and svc._models == {}
+
+
+def test_single_flight_gate_503_when_busy(server_url_factory=None):
+    # a held work gate makes the next request queue, then 503 with
+    # Retry-After — it must NOT start a second heavy computation
+    svc = ProverService(queue_timeout_s=0.2)
+    server = make_server(svc, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}"
+        svc._work_gate.acquire()
+        try:
+            req = urllib.request.Request(
+                url + "/prove",
+                data=json.dumps({"model": "rescue", "input": "1"}).encode(),
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    code, headers = resp.status, resp.headers
+            except urllib.error.HTTPError as e:
+                code, headers = e.code, e.headers
+            assert code == 503
+            assert headers.get("Retry-After")
+        finally:
+            svc._work_gate.release()
+        # gate released -> same request succeeds
+        status, proved = _post(url, "/prove", {"model": "rescue", "input": "1"})
+        assert status == 200 and proved["proof_bytes"] > 1000
+    finally:
+        server.shutdown()
+
+
+def test_model_cache_bounded():
+    from stark_tpu.serve import MODEL_CACHE_CAP
+
+    svc = ProverService()
+    svc._build = lambda kind, key: object()  # skip real construction
+    for i in range(MODEL_CACHE_CAP * 3):
+        svc._model("fibonacci", {"steps": i + 1})
+    assert len(svc._models) <= MODEL_CACHE_CAP
+    # LRU: most recent keys survive
+    assert ("fibonacci", MODEL_CACHE_CAP * 3) in svc._models

@@ -6,8 +6,11 @@ pin their outputs against the unbatched/uncached golden paths."""
 
 import random
 
+import pytest
+
 from stark_tpu.field import FieldElement
 from stark_tpu.models.fibonacci import FibonacciAir
+from stark_tpu.mpoly import MPolynomial
 from stark_tpu.params import P
 from stark_tpu.poly import Polynomial
 from stark_tpu.rescue_prime import RescuePrime
@@ -86,10 +89,23 @@ def test_degree_bound_cache_guards_mutation():
     assert after[0] > before[0]
 
 
-def test_content_key_stable_and_mutation_aware():
+def test_content_key_stable_and_freezes():
     air = FibonacciAir(1).transition_constraints()
     tc = air[0]
     k1 = tc.content_key()
     assert tc.content_key() == k1
-    tc.dict[(8, 0, 0, 0, 0)] = 5
-    assert tc.content_key() != k1
+    # serving the fingerprint freezes the polynomial: an in-place
+    # mutation would silently poison the process-wide statement caches,
+    # so it must fail loudly instead (same-count rewrites included)
+    with pytest.raises(TypeError):
+        tc.dict[(8, 0, 0, 0, 0)] = 5
+    with pytest.raises(TypeError):
+        tc.dict[next(iter(tc.dict))] = 1
+    with pytest.raises(TypeError):
+        tc.dict.pop(next(iter(tc.dict)))
+    assert tc.content_key() == k1
+    # a structurally different polynomial still gets a different key
+    other = FibonacciAir(1).transition_constraints()[0] + MPolynomial(
+        {(8, 0, 0, 0, 0): 5}
+    )
+    assert other.content_key() != k1
