@@ -246,10 +246,20 @@ def bench_ntt(max_logn=20):
         plan = best_plan(n)
         a = jax.numpy.asarray(rng.integers(0, 1 << 16, (8, n), dtype=np.uint32))
         # fetch-bracketed data-dependent chains: block_until_ready alone
-        # can return before compute finishes on the remote-tunnel backend
-        dt = chain_time(plan.forward, a, iters=10)
+        # can return before compute finishes on the remote-tunnel backend.
+        # chain_time auto-grows the chain so sub-ms transforms aren't
+        # measured inside the fetch floor (round-4's 2^16 row was pure
+        # rtt noise); the calibration details are published alongside.
+        info = {}
+        dt = chain_time(plan.forward, a, iters=10, details=info)
         out[f"device_ntt_2e{logn}"] = dt
         out[f"device_ntt_2e{logn}_coeffs_per_s"] = round(n / dt)
+        out[f"device_ntt_2e{logn}_timing"] = {
+            "iters": info["iters"],
+            "fetch_floor_s": round(info["floor_s"], 5),
+            "chain_s": round(info["chain_s"], 5),
+            "floor_dominated": info["floor_dominated"],
+        }
     return out
 
 

@@ -154,8 +154,12 @@ def _field_element_from_obj(obj) -> FieldElement:
     sign, digits = obj["value"]
     v = 0
     for i, d in enumerate(digits):
-        if not isinstance(d, int):
+        # serde deserializes digits as u32: bools and out-of-range
+        # numbers are type errors there, so they are rejections here
+        if not isinstance(d, int) or isinstance(d, bool):
             raise MalformedProofData("non-integer digit")
+        if not 0 <= d < (1 << 32):
+            raise MalformedProofData("digit out of u32 range")
         v |= d << (32 * i)
     if sign == "Minus":
         v = -v
@@ -198,4 +202,13 @@ def json_hash_path(path: Sequence[bytes]) -> str:
 
 @_parse_guard
 def json_parse_hash_path(s: str) -> List[bytes]:
-    return [bytes(arr) for arr in json.loads(s)]
+    out = []
+    for arr in json.loads(s):
+        digest = bytes(arr)
+        if len(digest) != 32:
+            # serde rejects GenericArray<u8, U32> of any other length —
+            # accepting short digests here would be laxer than the
+            # reference's deserializer (fri.rs:188-203)
+            raise MalformedProofData("auth-path digest must be 32 bytes")
+        out.append(digest)
+    return out

@@ -1319,10 +1319,14 @@ class Stark:
             from .ops.limbs import pack_be17
             from .rng import draw_concat
 
-            randomizer_codeword = core.extend_codeword(
-                pack_be17(draw_concat(self.rng, max_degree + 1, 17))
-            )
-            randomizer_tree = core.merkle_tree(randomizer_codeword)
+            with prof.region("randomizer_poly/draw"):
+                rand_bytes = draw_concat(self.rng, max_degree + 1, 17)
+            with prof.region("randomizer_poly/pack"):
+                rand_limbs = pack_be17(rand_bytes)
+            with prof.region("randomizer_poly/extend"):
+                randomizer_codeword = core.extend_codeword(rand_limbs)
+            with prof.region("randomizer_poly/tree"):
+                randomizer_tree = core.merkle_tree(randomizer_codeword)
         with prof.region("bq_merkle"):
             from .ops.device_merkle import roots_batch
 
@@ -1396,48 +1400,58 @@ class Stark:
             from .ops.device_prover import fetch_absorb, pad_rows
 
             jobs = []
-            for cw, idxs in [
-                (c, duplicated_indices) for c in boundary_quotient_codewords
-            ] + [(randomizer_codeword, indices)]:
-                if hasattr(cw, "gather_values_async"):
-                    got, arr = cw.gather_values_async(idxs)
-                    if got:
-                        jobs.append((
-                            pad_rows(arr, 8),
-                            lambda s, c=cw, got=got: c.absorb_values(
-                                got, s[:4]
-                            ),
-                        ))
-            for tree, idxs in [
-                (t, duplicated_indices) for t in boundary_quotient_trees
-            ] + [(randomizer_tree, indices)]:
-                if hasattr(tree, "gather_siblings_async"):
-                    keys, arr = tree.gather_siblings_async(sorted(set(idxs)))
-                    if keys:
-                        jobs.append((
-                            arr,
-                            lambda s, t=tree, keys=keys: t.absorb_siblings(
-                                keys, s
-                            ),
-                        ))
-                if hasattr(tree, "tail_async"):
-                    tail = tree.tail_async()
-                    if tail is not None:
-                        jobs.append(
-                            (tail, lambda s, t=tree: t.absorb_tail(s))
+            with prof.region("openings/gather_dispatch"):
+                for cw, idxs in [
+                    (c, duplicated_indices)
+                    for c in boundary_quotient_codewords
+                ] + [(randomizer_codeword, indices)]:
+                    if hasattr(cw, "gather_values_async"):
+                        got, arr = cw.gather_values_async(idxs)
+                        if got:
+                            jobs.append((
+                                pad_rows(arr, 8),
+                                lambda s, c=cw, got=got: c.absorb_values(
+                                    got, s[:4]
+                                ),
+                            ))
+                for tree, idxs in [
+                    (t, duplicated_indices) for t in boundary_quotient_trees
+                ] + [(randomizer_tree, indices)]:
+                    if hasattr(tree, "gather_siblings_async"):
+                        keys, arr = tree.gather_siblings_async(
+                            sorted(set(idxs))
                         )
-            fetch_absorb(jobs)
-            for s in range(self.num_registers):
-                codeword = boundary_quotient_codewords[s]
-                tree = boundary_quotient_trees[s]
-                for i in duplicated_indices:
-                    proof_stream.push(json_field_element(codeword.value(i)))
-                    proof_stream.push(json_hash_path(tree.open(i)))
-            for i in indices:
-                proof_stream.push(
-                    json_field_element(randomizer_codeword.value(i))
-                )
-                proof_stream.push(json_hash_path(randomizer_tree.open(i)))
+                        if keys:
+                            jobs.append((
+                                arr,
+                                lambda s, t=tree, keys=keys: (
+                                    t.absorb_siblings(keys, s)
+                                ),
+                            ))
+                    if hasattr(tree, "tail_async"):
+                        tail = tree.tail_async()
+                        if tail is not None:
+                            jobs.append(
+                                (tail, lambda s, t=tree: t.absorb_tail(s))
+                            )
+            with prof.region("openings/fetch"):
+                fetch_absorb(jobs)
+            with prof.region("openings/serialize"):
+                for s in range(self.num_registers):
+                    codeword = boundary_quotient_codewords[s]
+                    tree = boundary_quotient_trees[s]
+                    for i in duplicated_indices:
+                        proof_stream.push(
+                            json_field_element(codeword.value(i))
+                        )
+                        proof_stream.push(json_hash_path(tree.open(i)))
+                for i in indices:
+                    proof_stream.push(
+                        json_field_element(randomizer_codeword.value(i))
+                    )
+                    proof_stream.push(
+                        json_hash_path(randomizer_tree.open(i))
+                    )
 
         return proof_stream.serialize()
 

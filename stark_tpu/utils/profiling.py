@@ -61,10 +61,18 @@ def measure_rtt(x, repeats: int = 3) -> float:
     return best
 
 
-def chain_time(step, x0, iters: int = 10, repeats: int = 3) -> float:
+def chain_time(
+    step,
+    x0,
+    iters: int = 10,
+    repeats: int = 3,
+    floor_ratio: float = 5.0,
+    max_iters: int = 20000,
+    details: dict = None,
+) -> float:
     """Trustworthy per-op device timing: best-of-``repeats`` seconds for
-    one application of ``step``, measured over ``iters``-long
-    data-dependent chains bracketed by a host fetch.
+    one application of ``step``, measured over data-dependent chains
+    bracketed by a host fetch.
 
     Two async-dispatch measurement traps this avoids (both observed on
     this project's remote-tunnel TPU backend, see BENCHMARKS.md):
@@ -72,19 +80,41 @@ def chain_time(step, x0, iters: int = 10, repeats: int = 3) -> float:
     finished, and repeat dispatches of byte-identical (executable,
     inputs) pairs being deduplicated.  ``step`` must feed its output to
     the next input so every dispatch is distinct, and the chain is timed
-    through ``fetch_scalar`` (minus the separately measured fetch floor).
+    through ``fetch_scalar`` (minus the separately measured fetch floor,
+    which is re-measured per output shape).
+
+    Sub-millisecond ops add a third trap (round-4 forensics: the 2^16
+    NTT published a physically impossible 3.3 G coeffs/s): when the whole
+    chain is comparable to the fetch floor, the subtraction is pure rtt
+    noise.  The chain length therefore AUTO-CALIBRATES — if the measured
+    chain is shorter than ``floor_ratio`` x floor (or 50 ms), it is
+    re-run with enough iterations that the chain dwarfs the floor, up to
+    ``max_iters``.  Pass a ``details`` dict to get the calibration data
+    (iters used, floor, raw chain seconds, floor_dominated flag) for
+    publishing honest caveats.
     """
     x = step(x0)
     fetch_scalar(x)  # compile + drain
     rtt = measure_rtt(x)
-    best = float("inf")
-    for _ in range(repeats):
-        x = x0
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            x = step(x)
-        fetch_scalar(x)
-        best = min(best, time.perf_counter() - t0)
+
+    def run_chain(k: int) -> float:
+        best = float("inf")
+        for _ in range(repeats):
+            xi = x0
+            t0 = time.perf_counter()
+            for _ in range(k):
+                xi = step(xi)
+            fetch_scalar(xi)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    target = max(floor_ratio * rtt, 0.05)
+    k = iters
+    best = run_chain(k)
+    if best < target and k < max_iters:
+        k = min(max_iters, max(2 * k, int(k * target / max(best, 1e-9)) + 1))
+        best = run_chain(k)
+    floor_dominated = best < floor_ratio * rtt
     # an op faster than the measured fetch floor can make the
     # subtraction non-positive under rtt noise; report the UNsubtracted
     # chain time then (a conservative over-estimate, never a div-by-zero
@@ -92,7 +122,12 @@ def chain_time(step, x0, iters: int = 10, repeats: int = 3) -> float:
     net = best - rtt
     if net <= 0.0:
         net = best
-    return net / iters
+    if details is not None:
+        details.update(
+            iters=k, floor_s=rtt, chain_s=best,
+            floor_dominated=floor_dominated,
+        )
+    return net / k
 
 
 @contextlib.contextmanager

@@ -81,3 +81,74 @@ def test_recorded_transcript_regenerates_byte_exact():
     assert output == FieldElement(int(meta["output"]))
     assert proof == recorded
     assert model.verify(output, recorded)
+
+
+def test_medium_transcript_regenerates_byte_exact():
+    """Round-5 corpus growth: the reference stark bench's medium config
+    (expansion 4, 4 colinearity tests, security 16 — reference
+    benches/stark_benchmarks.rs) pinned as a second full transcript."""
+    from stark_tpu.models.rescue_stark import RescueStark
+    from stark_tpu.rng import DeterministicRandom
+
+    meta = _load("rescue_medium_transcript.json")
+    with open(
+        os.path.join(_FIXTURES, "rescue_medium_transcript.bin"), "rb"
+    ) as f:
+        recorded = f.read()
+    assert len(recorded) == meta["proof_bytes"]
+    assert hashlib.sha256(recorded).hexdigest() == meta["sha256"]
+
+    cfg = meta["config"]
+    model = RescueStark(
+        cfg["expansion_factor"],
+        cfg["num_colinearity_tests"],
+        cfg["security_level"],
+        rng=DeterministicRandom(meta["rng_seed"]),
+    )
+    x = FieldElement(int(meta["input"]))
+    output, proof = model.prove(x)
+    assert output == FieldElement(int(meta["output"]))
+    assert proof == recorded
+    assert model.verify(output, recorded)
+
+
+def test_adversarial_vectors_rejected():
+    """Every adversarial wire-format vector must be rejected by its
+    parser — the committed corpus is the cross-language contract (a Rust
+    harness over the reference crate must reject the same inputs)."""
+    from stark_tpu.serialization import (
+        MalformedProofData,
+        json_parse_hash_path,
+        json_parse_string_triple,
+    )
+
+    vectors = _load("adversarial_vectors.json")
+    for vec in vectors["rejected_bincode_string_vec_hex"]:
+        with pytest.raises(ValueError):
+            bincode_parse_string_vec(bytes.fromhex(vec["hex"]))
+    for vec in vectors["rejected_json_field_element"]:
+        with pytest.raises(MalformedProofData):
+            json_parse_field_element(vec["json"])
+    for vec in vectors["rejected_json_hash_path"]:
+        with pytest.raises(MalformedProofData):
+            json_parse_hash_path(vec["json"])
+    for vec in vectors["rejected_json_string_triple"]:
+        with pytest.raises(MalformedProofData):
+            json_parse_string_triple(vec["json"])
+
+
+def test_adversarial_canonicalization_pinned():
+    """Non-canonical-but-parseable encodings normalize exactly as
+    pinned, and re-serialization never reproduces the non-canonical
+    input (so smuggling one into a transcript breaks its own hashes)."""
+    vectors = _load("adversarial_vectors.json")
+    for vec in vectors["canonicalization_field_element"]:
+        fe = json_parse_field_element(vec["json"])
+        assert fe == FieldElement(int(vec["canonical_value"])), vec["why"]
+        assert json_field_element(fe.value) != vec["json"] or (
+            vec["json"] == json_field_element(fe.value)
+        )
+    # the >=p vector specifically must NOT re-serialize to its input
+    nc = vectors["canonicalization_field_element"][3]
+    fe = json_parse_field_element(nc["json"])
+    assert json_field_element(fe.value) != nc["json"]

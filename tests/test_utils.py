@@ -43,10 +43,37 @@ def test_chain_time_measures_device_ops():
         return step(x)
 
     x0 = jnp.arange(256, dtype=jnp.uint32)
-    dt = chain_time(counted, x0, iters=4, repeats=2)
+    info = {}
+    dt = chain_time(counted, x0, iters=4, repeats=2, details=info)
     assert dt >= 0.0
-    # 1 warm-up + repeats * iters chained applications
-    assert len(calls) == 1 + 2 * 4
+    # 1 warm-up + repeats * iters chained applications per chain run; a
+    # sub-floor op triggers exactly one recalibrated re-run with a
+    # longer chain (honest sub-ms protocol, round-5)
+    k = info["iters"]
+    assert k >= 4
+    expected = 1 + 2 * 4 + (2 * k if k > 4 else 0)
+    assert len(calls) == expected
+    assert info["chain_s"] > 0 and info["floor_s"] >= 0
+
+
+def test_chain_time_calibrates_sub_floor_ops():
+    """An op much faster than the fetch floor must get a longer chain,
+    not a noise-dominated subtraction (the round-4 3.3 G coeffs/s
+    artifact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stark_tpu.utils import chain_time
+
+    @jax.jit
+    def tiny(x):
+        return x + 1
+
+    info = {}
+    chain_time(tiny, jnp.zeros((8,), jnp.uint32), iters=2, details=info)
+    # on any backend a one-add dispatch is far below 50 ms; the chain
+    # must have been regrown past the initial 2 iterations
+    assert info["iters"] > 2
 
 
 def test_logger_is_quiet_by_default(capsys):
