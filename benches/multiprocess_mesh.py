@@ -115,6 +115,48 @@ def worker(pid: int) -> None:
     model = RescueStark(rng=DeterministicRandom(7 + pid))
     output, proof = model.prove(FieldElement(1000 + pid))
     assert model.verify(output, proof)
+
+    # --- 4. FULL sharded STARK prove across the process boundary --------
+    # The last untested composition of SURVEY §2(e) with §1 L5: the
+    # codeword-sharded prover (ShardedBackend -> four-step NTT,
+    # distributed Merkle, sharded folds, sharded combination) running
+    # over the 2-controller mesh, byte-identical to the host proof.
+    # Every controller runs the same prover program in lockstep; host
+    # crossings reassemble via process_allgather
+    # (stark_tpu.parallel.mesh.global_device_get).
+    from stark_tpu.models.fibonacci import FibonacciStark
+    from stark_tpu.parallel import ShardedBackend
+
+    steps = 120  # 2048-point FRI domain (the dryrun scenario)
+    fa, fb = FieldElement(1), FieldElement(1)
+    host_fib = FibonacciStark(steps, rng=DeterministicRandom(9))
+    fib_result, host_proof = host_fib.prove(fa, fb)
+    sharded_fib = FibonacciStark(
+        steps,
+        backend=ShardedBackend(mesh, device_prover_min=2048),
+        rng=DeterministicRandom(9),
+    )
+    assert sharded_fib.stark._use_device_pipeline()
+    t_sh = time.time()
+    fib_result2, sharded_proof = sharded_fib.prove(fa, fb)
+    sharded_prove_s = time.time() - t_sh
+    assert fib_result2 == fib_result
+    assert sharded_proof == host_proof, (
+        "multiprocess sharded STARK proof != host proof"
+    )
+    assert sharded_fib.verify(fa, fb, fib_result2, sharded_proof)
+    # cross-check both controllers produced identical bytes
+    sh_digest = hashlib.sha256(sharded_proof).digest()
+    sh_digs = np.asarray(
+        multihost_utils.process_allgather(
+            jnp.asarray(np.frombuffer(sh_digest, dtype=np.uint8)),
+            tiled=False,
+        )
+    )
+    assert all(
+        bytes(d) == sh_digest for d in sh_digs
+    ), "controllers disagree on sharded proof bytes"
+
     digest = hashlib.sha256(proof).digest()
     digs = np.asarray(
         multihost_utils.process_allgather(
@@ -131,6 +173,10 @@ def worker(pid: int) -> None:
             "ntt_bit_identical": True,
             "fourstep_round_trip": True,
             "dp_proof_digests": [bytes(d).hex()[:16] for d in digs],
+            "sharded_proof_identical": True,
+            "sharded_fib_steps": steps,
+            "sharded_fri_domain": sharded_fib.stark.fri_domain_length,
+            "sharded_prove_s": round(sharded_prove_s, 3),
             "wall_s_forward": round(dt, 3),
         }
         out_path = os.environ.get(

@@ -33,12 +33,19 @@ def mark(msg):
 
 T0 = time.time()
 
+# stack dumps on demand (kill -USR1 <pid>) — the tunnel makes long
+# silent compiles normal, and a dump beats guessing where it's stuck
+import faulthandler  # noqa: E402
+import signal  # noqa: E402
+
+faulthandler.register(signal.SIGUSR1, all_threads=True)
+
 
 def run_fib():
     from bench import _bench_fibonacci_large, _fib_model, _precompile_model
 
     model = _fib_model()
-    _precompile_model(model, model.air.transition_constraints(), "fib")
+    _precompile_model(model, model._constraints, "fib")
     mark("fib precompile done")
     prove_s, verify_s, domain, stages = _bench_fibonacci_large(model)
     mark(f"fib prove {prove_s:.3f}s")

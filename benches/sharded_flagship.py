@@ -80,10 +80,21 @@ def main():
         "host_prove_s": round(host_s, 1),
         "sharded_prove_cold_s": round(sharded_s, 1),
         "sharded_prove_warm_s": round(warm_s, 1),
-        "stages_s": {
+        # cold stage table = compile + run; warm = run only.  The
+        # difference per stage attributes XLA:CPU compile cost (round-4
+        # review: the 1036 s cold combination was unexplained — the warm
+        # split separates megakernel compile time from execution).
+        "stages_cold_s": {
             k: round(v, 2)
             for k, v in sorted(
                 model.stark.last_profile.totals.items(),
+                key=lambda kv: -kv[1],
+            )
+        },
+        "stages_warm_s": {
+            k: round(v, 2)
+            for k, v in sorted(
+                model2.stark.last_profile.totals.items(),
                 key=lambda kv: -kv[1],
             )
         },

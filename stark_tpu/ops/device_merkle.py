@@ -177,7 +177,7 @@ _SIGMA_FULL = np.asarray(
 )
 
 
-def blake2b256_single_block(m, t, unroll=None, sigma=None):
+def blake2b256_single_block(m, t, unroll=None, sigma=None, rounds=12):
     """Vectorized single-final-block Blake2b-256.
 
     ``m``: 16 message words, each a (lo, hi) pair of (w,) uint32 arrays
@@ -198,6 +198,10 @@ def blake2b256_single_block(m, t, unroll=None, sigma=None):
     * ``unroll=True`` (opt-in via STARK_TPU_MERKLE_UNROLL=1): rounds
       unrolled at trace time with the SIGMA permutation applied
       statically; kept for A/B measurement.
+
+    ``rounds`` < 12 is for roofline probes ONLY (not a valid hash): the
+    marginal cost per round separates compress arithmetic from kernel
+    launch/IO in benches/merkle_roofline.py.
     """
     if unroll is None:
         env = os.environ.get("STARK_TPU_MERKLE_UNROLL")
@@ -225,7 +229,7 @@ def blake2b256_single_block(m, t, unroll=None, sigma=None):
 
     if unroll:
         vv = list(v)
-        for r in range(12):
+        for r in range(rounds):
             sig = _SIGMA_FULL[r]
             mm = [m[sig[j]] for j in range(16)]
             _g(vv, 0, 4, 8, 12, mm[0], mm[1])
@@ -281,7 +285,7 @@ def blake2b256_single_block(m, t, unroll=None, sigma=None):
             _g(vv, 3, 4, 9, 14, mm[14], mm[15])
             return jnp.stack([jnp.stack([p[0], p[1]]) for p in vv])
 
-        v_arr = jax.lax.fori_loop(0, 12, round_body, v_arr)
+        v_arr = jax.lax.fori_loop(0, rounds, round_body, v_arr)
         final = [(v_arr[i, 0], v_arr[i, 1]) for i in range(16)]
 
     out = []
@@ -425,6 +429,33 @@ def roots_batch(trees) -> List[bytes]:
     return [t.root for t, _ in jobs]
 
 
+def _bucket_pad(items: List[int], min_size: int = 8) -> List[int]:
+    """Pad to the next power-of-two length (>= min_size) by repeating the
+    first entry — stabilizes gather shapes across proofs so the jitted
+    gather compiles once per bucket signature."""
+    k = len(items)
+    size = max(min_size, 1 << (k - 1).bit_length())
+    return items + [items[0]] * (size - k)
+
+
+_SIB_GATHER_FNS: Dict[int, object] = {}
+
+
+def _sibling_gather_fn(num_levels: int):
+    """jit((levels...), (idx...)) -> (8, sum K) concatenated column
+    gather — one dispatch for a whole tree's auth-path siblings."""
+    fn = _SIB_GATHER_FNS.get(num_levels)
+    if fn is None:
+
+        def gather(levels, idxs):
+            return jnp.concatenate(
+                [lv[:, ix] for lv, ix in zip(levels, idxs)], axis=1
+            )
+
+        fn = _SIB_GATHER_FNS[num_levels] = jax.jit(gather)
+    return fn
+
+
 class DeviceMerkleTree:
     """Merkle tree whose upper levels live on the device.
 
@@ -527,22 +558,33 @@ class DeviceMerkleTree:
         auth-path sibling of ``indices``.  Returns (keys, device array of
         shape (8, len(keys))) or (keys, None) when nothing is missing —
         lets a caller concatenate gathers across MANY trees into one
-        host fetch (see fri._query_phase)."""
+        host fetch (see fri._query_phase).
+
+        The whole tree's gather is ONE jitted dispatch with the index
+        vector of each level padded to a power-of-two bucket (repeating
+        the first sibling): the round-4 shape ran ~10 EAGER slice ops
+        per tree through a 5-30 ms-per-dispatch tunnel, and the
+        proof-dependent index counts made every dispatch a fresh tiny
+        compile.  Padding costs <2x fetch columns; duplicate keys just
+        overwrite the same cache slot."""
+        per_level: List[tuple] = []
         wanted: List[tuple] = []
-        per_level: List[List[int]] = []
         for lvl in range(len(self._device_levels)):
             sibs = sorted({(int(i) >> lvl) ^ 1 for i in indices})
             sibs = [s for s in sibs if (lvl, s) not in self._sib_cache]
-            per_level.append(sibs)
-            wanted.extend((lvl, s) for s in sibs)
+            if not sibs:
+                continue
+            padded = _bucket_pad(sibs)
+            wanted.extend((lvl, s) for s in padded)
+            per_level.append((self._device_levels[lvl],
+                              np.asarray(padded, dtype=np.int32)))
         if not wanted:
             return [], None
-        gathered = [
-            self._device_levels[lvl][:, jnp.asarray(sibs, dtype=jnp.int32)]
-            for lvl, sibs in enumerate(per_level)
-            if sibs
-        ]
-        return wanted, jnp.concatenate(gathered, axis=1)
+        fn = _sibling_gather_fn(len(per_level))
+        return wanted, fn(
+            tuple(lv for lv, _ in per_level),
+            tuple(ix for _, ix in per_level),
+        )
 
     def absorb_siblings(self, keys, flat: np.ndarray) -> None:
         """Fill the sibling cache from a fetched gather (columns of

@@ -61,6 +61,12 @@ def _plain_digits(mont: jnp.ndarray) -> jnp.ndarray:
     return lo | (hi << 16)
 
 
+@jax.jit
+def _value_gather(mont: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """One-dispatch column gather + Montgomery strip for leaf openings."""
+    return _plain_digits(mont[:, idx])
+
+
 def mont_to_digits(mont: jnp.ndarray) -> np.ndarray:
     """Device (8, n) Montgomery array -> host (n, 4) uint32 digit rows —
     the exact input of the native serialize+hash Merkle path."""
@@ -124,14 +130,20 @@ class DeviceCodeword:
         """Dispatch (but don't fetch) the digit gather for ``indices``;
         returns (idx_list, (4, K) device array) or ([], None) — lets the
         FRI query phase combine value gathers across all rounds into one
-        host fetch."""
+        host fetch.  Gather + Montgomery strip run as ONE jitted
+        dispatch with the index vector bucket-padded (stable shapes; the
+        eager form cost a tunnel round trip + tiny recompile per
+        proof-dependent index count)."""
         if self._digits is not None or self.mont.ndim != 2:
             return [], None  # digits already on host (or four-step layout)
         idx = sorted({int(i) for i in indices} - self._val_cache.keys())
         if not idx:
             return [], None
-        gathered = self.mont[:, jnp.asarray(idx, dtype=jnp.int32)]
-        return idx, _plain_digits(gathered)
+        from .device_merkle import _bucket_pad
+
+        padded = _bucket_pad(idx)
+        arr = _value_gather(self.mont, np.asarray(padded, dtype=np.int32))
+        return padded, arr
 
     def absorb_values(self, idx, digits_cols: np.ndarray) -> None:
         """Fill the value cache from a fetched (4, K) digit gather."""
@@ -280,7 +292,14 @@ def degree_probe_with(
             return jnp.stack(outs)
 
         fn = cache[key] = jax.jit(run)
-    return [int(d) for d in np.asarray(jax.device_get(fn(stack, tabs)))]
+    out = fn(stack, tabs)
+    if not getattr(out, "is_fully_addressable", True):
+        # sharded cores on a process-spanning mesh: the (k,) result is
+        # replicated over remote devices too — allgather-fetch it
+        from ..parallel.mesh import global_device_get
+
+        return [int(d) for d in np.asarray(global_device_get(out))]
+    return [int(d) for d in np.asarray(jax.device_get(out))]
 
 
 # ---------------------------------------------------------------------------

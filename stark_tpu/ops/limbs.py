@@ -48,6 +48,24 @@ def unpack(arr) -> List[int]:
     ]
 
 
+_B0_TABLE = None
+
+
+def _b0_table() -> np.ndarray:
+    """(256, 4) uint64 digit rows of ``b << 128 mod p`` for each byte b."""
+    global _B0_TABLE
+    if _B0_TABLE is None:
+        from ..params import P
+
+        tab = np.empty((256, 4), np.uint64)
+        for b in range(256):
+            v = (b << 128) % P
+            for i in range(4):
+                tab[b, i] = (v >> (32 * i)) & 0xFFFFFFFF
+        _B0_TABLE = tab
+    return _B0_TABLE
+
+
 def pack_be17(raw: bytes) -> np.ndarray:
     """Concatenated 17-byte big-endian chunks -> (8, N) uint32 limb array
     of ``int.from_bytes(chunk, "big") % P`` per chunk, fully vectorized
@@ -63,16 +81,16 @@ def pack_be17(raw: bytes) -> np.ndarray:
 
     a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 17)
     n = a.shape[0]
-    b0 = a[:, 0].astype(np.uint64)
+    b0 = a[:, 0]
     le = np.ascontiguousarray(a[:, 1:][:, ::-1])  # v0, little-endian bytes
     d = le.view("<u4")  # (N, 4) 32-bit digits
     v0 = np.ascontiguousarray(d.T).astype(np.uint64)  # (4, N)
     t = np.concatenate([v0, np.zeros((1, n), np.uint64)], axis=0)
     v0c = ho._canonicalize(t)
-    b0_arr = np.zeros((4, n), np.uint64)
-    b0_arr[0] = b0
-    r2 = ho.pack32([ho._R2_32])
-    term = ho.mul(b0_arr, np.broadcast_to(r2, (4, n)))
+    # b0 * 2^128 mod p: b0 is one BYTE, so a 256-entry digit table beats
+    # a vectorized Montgomery multiply (the mul was ~40% of this
+    # function at flagship sizes — round-5 attribution)
+    term = np.ascontiguousarray(_b0_table()[b0].T)  # (4, N)
     out32 = ho.add(v0c, term)  # canonical (4, N) 32-bit digit rows
     out = np.empty((8, n), np.uint32)
     out[0::2] = (out32 & np.uint64(0xFFFF)).astype(np.uint32)

@@ -48,3 +48,22 @@ def init_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def global_device_get(x):
+    """``jax.device_get`` that also works on process-spanning arrays.
+
+    In a multi-controller run each process addresses only its local
+    shards; fetching a global array directly raises.  Every controller
+    runs the same host-side prover program in lockstep, so the global
+    value is what all of them need — allgather it (tiled reassembly of
+    the shards) and fetch.  Fully-addressable arrays (single process, or
+    replicated locally) keep the direct, allgather-free path.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return jax.device_get(x)
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

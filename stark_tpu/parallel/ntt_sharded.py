@@ -248,4 +248,14 @@ class ShardedNTT:
         return np.transpose(np.asarray(mat), (0, 2, 1)).reshape(NUM_LIMBS, self.n)
 
     def shard_input(self, mat) -> jnp.ndarray:
-        return jax.device_put(mat, self.col_sharded)
+        if all(
+            d.process_index == jax.process_index()
+            for d in self.mesh.devices.flat
+        ):
+            return jax.device_put(mat, self.col_sharded)
+        # process-spanning mesh: each controller supplies the shards it
+        # addresses from its (identical) host copy
+        mat = np.asarray(mat)
+        return jax.make_array_from_callback(
+            mat.shape, self.col_sharded, lambda idx: mat[idx]
+        )

@@ -41,6 +41,7 @@ from ..ops.fold import fold_mont
 from ..ops.limbs import pack
 from ..ops.ntt import _mont_pack
 from .fold_sharded import ShardedFold
+from .mesh import global_device_get
 from .ntt_sharded import ShardedNTT
 
 
@@ -134,7 +135,18 @@ class ShardedProverCore:
                 axis=1,
             )
         mat = arr.reshape(NUM_LIMBS, self.R, self.C)
-        x = jax.device_put(mat, self.sntt.col_sharded)
+        sharding = self.sntt.col_sharded
+        if all(
+            d.process_index == jax.process_index()
+            for d in self.mesh.devices.flat
+        ):
+            x = jax.device_put(mat, sharding)
+        else:
+            # process-spanning mesh: every controller holds the same host
+            # matrix; build the global array shard-by-shard
+            x = jax.make_array_from_callback(
+                mat.shape, sharding, lambda idx: mat[idx]
+            )
         return self._ext_jit(x)
 
     def extend_codeword(self, coeffs: Sequence[int]) -> DeviceCodeword:
@@ -142,7 +154,9 @@ class ShardedProverCore:
 
     def restrict_iszero(self, cw_mont: jnp.ndarray) -> np.ndarray:
         """Degree probe: natural-order is-zero bitmap of the coefficients."""
-        bitmap = np.asarray(jax.device_get(self._restrict_iszero_jit(cw_mont)))
+        bitmap = np.asarray(
+            global_device_get(self._restrict_iszero_jit(cw_mont))
+        )
         return bitmap.reshape(self.n)  # j = j1*C + j2: plain row-major
 
     def degree_probe(self, stack: jnp.ndarray):
@@ -158,7 +172,7 @@ class ShardedProverCore:
         """Natural-order (len, 4) digit matrix from either layout."""
         if mont.ndim == 2:  # replicated tail (natural order)
             return mont_to_digits(mont)
-        d = np.asarray(jax.device_get(self._digits4(mont)))
+        d = np.asarray(global_device_get(self._digits4(mont)))
         n = d.shape[1] * d.shape[2]
         # four-step layout: k = k1 + R*k2 lives at [k1, k2]
         nat = np.transpose(d, (0, 2, 1)).reshape(4, n)
@@ -169,12 +183,25 @@ class ShardedProverCore:
         device b owning leaves [b*n/D, (b+1)*n/D)) after the block
         reshard — the distributed Merkle working set."""
         out = self._digit_blocks_jit(mont)
-        shards = sorted(
-            out.addressable_shards, key=lambda s: s.index[2].start or 0
-        )
+        if out.is_fully_addressable:
+            shards = sorted(
+                out.addressable_shards, key=lambda s: s.index[2].start or 0
+            )
+            locs = [np.asarray(shard.data) for shard in shards]
+        else:
+            # multi-controller: every process runs the same host-side
+            # prover program and needs ALL blocks (subtree hashing +
+            # query openings); reassemble the global (4, R, C) array and
+            # slice the per-device column blocks.  At production scale
+            # this crossing would instead gather subtree ROOTS only and
+            # exchange opened paths lazily — sized for the SMALL proofs
+            # the DCN-shaped tests run.
+            full = np.asarray(global_device_get(out))
+            d = self.sntt.d
+            w = full.shape[2] // d
+            locs = [full[:, :, b * w:(b + 1) * w] for b in range(d)]
         blocks = []
-        for shard in shards:
-            loc = np.asarray(shard.data)  # (4, R, C/D)
+        for loc in locs:  # (4, R, C/D)
             m = loc.shape[1] * loc.shape[2]
             # within-block natural index = k1 + R*k2_local
             nat = np.transpose(loc, (0, 2, 1)).reshape(4, m)
@@ -218,7 +245,7 @@ class ShardedProverCore:
         if mont.ndim == 3 and mont.shape[2] == 1:
             # C exhausted: natural index k = k1 — drop to a replicated
             # natural-order array for the tiny tail
-            mont = jnp.asarray(np.asarray(jax.device_get(mont))[:, :, 0])
+            mont = jnp.asarray(np.asarray(global_device_get(mont))[:, :, 0])
         if mont.ndim == 3:
             folded = self.fold_sharded(mont, alpha, offset, omega)
             return DeviceCodeword(folded, self)

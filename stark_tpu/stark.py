@@ -1235,6 +1235,27 @@ class Stark:
                 )
 
         core = self._device_core()
+
+        # randomizer polynomial: drawn and DISPATCHED first (rng order —
+        # rows, then poly — and transcript push order are unchanged; only
+        # wall-clock order moves) so its host->device upload and
+        # extend+tree kernels stream while the host packs trace columns
+        # below.  Round-5 attribution: as the LAST dispatch this stage
+        # was 1.1 s of serial host/tunnel time on the chain flagship.
+        with prof.region("randomizer_poly"):
+            from .ops.limbs import pack_be17
+            from .rng import draw_concat
+
+            max_degree = self.combination_degree(transition_constraints)
+            with prof.region("randomizer_poly/draw"):
+                rand_bytes = draw_concat(self.rng, max_degree + 1, 17)
+            with prof.region("randomizer_poly/pack"):
+                rand_limbs = pack_be17(rand_bytes)
+            with prof.region("randomizer_poly/extend"):
+                randomizer_codeword = core.extend_codeword(rand_limbs)
+            with prof.region("randomizer_poly/tree"):
+                randomizer_tree = core.merkle_tree(randomizer_codeword)
+
         # long traces: interpolate, RS-extend and form boundary quotients
         # entirely on the device (device chirp interpolation + pointwise
         # eval-space division by the boundary zeroifier — exact division
@@ -1300,33 +1321,16 @@ class Stark:
                     core.extend_codeword(bq.coeffs)
                     for bq in boundary_quotients
                 ]
-        # dispatch EVERY commitment's device work (bq trees, randomizer
-        # extend + tree) before the first root fetch blocks: device trees
-        # are lazy (ops/device_merkle.py), so the hash kernels all queue
-        # while the host is busy drawing the randomizer coefficients.
-        # The rng draw order (rows, then poly) and the transcript push
-        # order (bq roots, then randomizer root) both stay identical.
-        max_degree = self.combination_degree(transition_constraints)
+        # dispatch EVERY commitment's device work before the first root
+        # fetch blocks: device trees are lazy (ops/device_merkle.py), so
+        # the hash kernels all queue up front.  The randomizer extend +
+        # tree were dispatched BEFORE trace interpolation (see above);
+        # the transcript push order (bq roots, then randomizer root)
+        # stays identical.
         with prof.region("bq_merkle_dispatch"):
             boundary_quotient_trees = [
                 core.merkle_tree(cw) for cw in boundary_quotient_codewords
             ]
-        with prof.region("randomizer_poly"):
-            # same rng byte stream as FieldElement.sample(self.rng(17))
-            # per coefficient: draws batched through the native keccak
-            # kernel, chunk bytes reduced mod p and packed to device
-            # limbs without any Python-int loop (ops/limbs.pack_be17)
-            from .ops.limbs import pack_be17
-            from .rng import draw_concat
-
-            with prof.region("randomizer_poly/draw"):
-                rand_bytes = draw_concat(self.rng, max_degree + 1, 17)
-            with prof.region("randomizer_poly/pack"):
-                rand_limbs = pack_be17(rand_bytes)
-            with prof.region("randomizer_poly/extend"):
-                randomizer_codeword = core.extend_codeword(rand_limbs)
-            with prof.region("randomizer_poly/tree"):
-                randomizer_tree = core.merkle_tree(randomizer_codeword)
         with prof.region("bq_merkle"):
             from .ops.device_merkle import roots_batch
 
