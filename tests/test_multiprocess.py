@@ -29,3 +29,6 @@ def test_two_process_mesh_bit_identical():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "MULTIPROCESS_OK" in out.stdout
     assert '"ntt_bit_identical": true' in out.stdout
+    # round 5: the FULL codeword-sharded STARK prove crosses the process
+    # boundary byte-identical to the host prover (SURVEY §2(e) x §1 L5)
+    assert '"sharded_proof_identical": true' in out.stdout
