@@ -42,8 +42,10 @@ from .device_merkle import _ZERO, blake2b256_single_block
 import os
 
 #: sublane rows of instances per grid block (block = _RB * 128
-#: instances); measured on v5e at 2^20: RB=16 399 ms/tree vs 8:477,
-#: 32:435, 64:464 (benches/tree_compile_experiment.py)
+#: instances); round-4 A/B at 2^20 preferred RB=16 (relative ordering
+#: 16 < 8,32,64; the absolute times of that sweep were floor-noise —
+#: the calibrated round-5 roofline puts the full tree at 11.3 ms
+#: (5.4 ns/hash), IO-bound: see benches/merkle_roofline.py)
 _RB = int(os.environ.get("STARK_TPU_MERKLE_RB", "16"))
 
 #: narrowest level the kernels handle: w/2 parents must fill >= 1 lane

@@ -111,8 +111,15 @@ def chain_time(
     target = max(floor_ratio * rtt, 0.05)
     k = iters
     best = run_chain(k)
-    if best < target and k < max_iters:
-        k = min(max_iters, max(2 * k, int(k * target / max(best, 1e-9)) + 1))
+    # grow until the chain dwarfs the floor (a single growth step
+    # under-shoots when the initial chain is itself mostly floor, so the
+    # per-op estimate it is based on is a gross over-estimate)
+    while best < target and k < max_iters:
+        # estimate per-op from the floor-SUBTRACTED chain: the raw
+        # chain/k over-estimates per-op when the chain is mostly floor,
+        # which would undershoot the needed growth
+        per_op = max(best - rtt, 1e-9) / k
+        k = min(max_iters, max(2 * k, int(target / per_op) + 1))
         best = run_chain(k)
     floor_dominated = best < floor_ratio * rtt
     # an op faster than the measured fetch floor can make the

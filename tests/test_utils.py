@@ -46,13 +46,14 @@ def test_chain_time_measures_device_ops():
     info = {}
     dt = chain_time(counted, x0, iters=4, repeats=2, details=info)
     assert dt >= 0.0
-    # 1 warm-up + repeats * iters chained applications per chain run; a
-    # sub-floor op triggers exactly one recalibrated re-run with a
-    # longer chain (honest sub-ms protocol, round-5)
+    # 1 warm-up + repeats * iters chained applications per chain run;
+    # sub-floor ops trigger recalibrated re-runs with longer chains
+    # (honest sub-ms protocol, round-5), so the call count is at least
+    # the initial run's and ends with the final chain length's run
     k = info["iters"]
     assert k >= 4
-    expected = 1 + 2 * 4 + (2 * k if k > 4 else 0)
-    assert len(calls) == expected
+    assert len(calls) >= 1 + 2 * 4
+    assert len(calls) >= 2 * k  # the final run really used k iters
     assert info["chain_s"] > 0 and info["floor_s"] >= 0
 
 
