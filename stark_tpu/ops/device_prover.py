@@ -396,7 +396,7 @@ class DeviceProverCore:
         Zero-padding to the domain happens ON the device: the host→device
         link runs at tens of MB/s, so uploading a 2^18-coefficient
         randomizer padded to a 2^20 domain would quadruple the transfer."""
-        if isinstance(coeffs, np.ndarray):
+        if isinstance(coeffs, np.ndarray) or isinstance(coeffs, jax.Array):
             packed = coeffs
         else:
             packed = pack(list(coeffs))
@@ -425,6 +425,15 @@ class DeviceProverCore:
 
     def extend_codeword(self, coeffs: Sequence[int]) -> DeviceCodeword:
         return DeviceCodeword(self.extend(coeffs), self)
+
+    def extend_codeword_be17(self, raw: bytes) -> DeviceCodeword:
+        """Randomizer fast path: concatenated 17-byte big-endian rng
+        chunks -> extended codeword, with the byte->limb unpack and the
+        mod-p reduction ON the device (bit-identical to
+        ``extend_codeword(pack_be17(raw))``; the host-side pack was
+        0.2-0.3 s of serial numpy per flagship prove — round-5
+        attribution)."""
+        return DeviceCodeword(self.extend(fo.be17_device_limbs(raw)), self)
 
     def restrict_iszero(self, cw_mont: jnp.ndarray) -> np.ndarray:
         """Codeword -> is-zero bitmap of its coefficient vector (the degree

@@ -185,6 +185,58 @@ def is_zero(a: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# byte-stream unpack (randomizer draws)
+# ---------------------------------------------------------------------------
+
+_B0_LIMB_TABLE = None
+
+
+def _b0_limb_table() -> "np.ndarray":
+    """(256, 8) uint32 limb rows of ``b << 128 mod p`` per byte b."""
+    global _B0_LIMB_TABLE
+    if _B0_LIMB_TABLE is None:
+
+        tab = np.empty((256, NUM_LIMBS), np.uint32)
+        for b in range(256):
+            v = (b << 128) % P
+            for l in range(NUM_LIMBS):
+                tab[b, l] = (v >> (LIMB_BITS * l)) & LIMB_MASK
+        _B0_LIMB_TABLE = tab
+    return _B0_LIMB_TABLE
+
+
+@jax.jit
+def _be17_limbs(
+    digits: jnp.ndarray, b0: jnp.ndarray, table: jnp.ndarray
+) -> jnp.ndarray:
+    """(4, N) little-endian 32-bit digits of v0 + (N,) leading byte ->
+    (8, N) canonical plain limbs of ``(b0 << 128 | v0) mod p``.  Same
+    reduction as :func:`stark_tpu.ops.limbs.pack_be17` (v0 < 2^128 < 2p
+    needs one conditional subtract; b0*2^128 mod p via the byte table),
+    moved on-device — the host pack was 0.2-0.3 s per flagship prove."""
+    limbs = []
+    for k in range(4):
+        limbs.append(digits[k] & _MASK)
+        limbs.append(digits[k] >> LIMB_BITS)
+    v0c = _canonicalize(limbs + [jnp.zeros_like(limbs[0])])
+    term = table[b0].T  # (8, N) canonical
+    return add(v0c, term)
+
+
+def be17_device_limbs(raw: bytes) -> jnp.ndarray:
+    """Concatenated 17-byte big-endian chunks -> device (8, N) canonical
+    plain limb array (the randomizer coefficient upload, 2.5 MB instead
+    of 16 MB of pre-split limbs at 2^19 coefficients)."""
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 17)
+    b0 = a[:, 0].astype(np.int32)
+    le = np.ascontiguousarray(a[:, 1:][:, ::-1])
+    d = np.ascontiguousarray(le.view("<u4").T)  # (4, N) digits of v0
+    return _be17_limbs(
+        jnp.asarray(d), jnp.asarray(b0), jnp.asarray(_b0_limb_table())
+    )
+
+
+# ---------------------------------------------------------------------------
 # Montgomery multiply
 # ---------------------------------------------------------------------------
 

@@ -1249,10 +1249,17 @@ class Stark:
             max_degree = self.combination_degree(transition_constraints)
             with prof.region("randomizer_poly/draw"):
                 rand_bytes = draw_concat(self.rng, max_degree + 1, 17)
-            with prof.region("randomizer_poly/pack"):
-                rand_limbs = pack_be17(rand_bytes)
-            with prof.region("randomizer_poly/extend"):
-                randomizer_codeword = core.extend_codeword(rand_limbs)
+            if hasattr(core, "extend_codeword_be17"):
+                # byte->limb unpack and mod-p reduce on the DEVICE
+                with prof.region("randomizer_poly/extend"):
+                    randomizer_codeword = core.extend_codeword_be17(
+                        rand_bytes
+                    )
+            else:
+                with prof.region("randomizer_poly/pack"):
+                    rand_limbs = pack_be17(rand_bytes)
+                with prof.region("randomizer_poly/extend"):
+                    randomizer_codeword = core.extend_codeword(rand_limbs)
             with prof.region("randomizer_poly/tree"):
                 randomizer_tree = core.merkle_tree(randomizer_codeword)
 

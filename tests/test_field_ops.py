@@ -142,3 +142,21 @@ def test_pack_be17_matches_int_path():
     got = pack_be17(b"".join(chunks))
     want = pack([int.from_bytes(c, "big") % P for c in chunks])
     assert np.array_equal(got, want)
+
+
+def test_be17_device_limbs_bit_identical():
+    """Device randomizer unpack == host pack_be17 (the bytes feed the
+    committed randomizer codeword, so any divergence is a transcript
+    break)."""
+    import numpy as np
+
+    from stark_tpu.ops import field_ops as fo
+    from stark_tpu.ops.limbs import pack_be17
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, 2048 * 17, dtype=np.uint8).tobytes()
+    # force edge leading bytes (0 and 255) and an all-0xff chunk
+    raw = b"\x00" * 17 + b"\xff" * 17 + raw
+    assert np.array_equal(
+        pack_be17(raw), np.asarray(fo.be17_device_limbs(raw))
+    )
