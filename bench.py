@@ -437,6 +437,31 @@ def _worker(result, extra, headline_done):
 
     stage("prove (small config)", s_prove)
     stage("batch throughput", s_batch)
+    # TPU reachability gate: if the tunnel is down, backend init HANGS
+    # (observed 2026-08-21: every device stage blocks forever and the
+    # whole budget is burned waiting) — probe on a bounded side thread
+    # and skip the device stages outright so the host metrics land in
+    # minutes, flagged, instead of a budget-exhausted partial.
+    probe_ok: list = []
+
+    def _probe():
+        try:
+            import jax.numpy as jnp
+
+            jnp.ones((4,)).sum().item()
+            probe_ok.append(True)
+        except Exception:
+            pass
+
+    probe_t = threading.Thread(target=_probe, daemon=True)
+    mark("tpu probe")
+    probe_t.start()
+    probe_t.join(timeout=float(os.environ.get(
+        "STARK_TPU_BENCH_PROBE_TIMEOUT_S", "240")))
+    if not probe_ok:
+        extra["tpu_unavailable"] = True
+        mark("TPU unreachable: skipping device stages")
+        return
     # flagship-first: warm ONLY the fibonacci modules, bench it, then the
     # chain (which shares the 2^20 codeword modules), then microbenches —
     # so a truncated cold run still lands the flagship numbers
