@@ -63,25 +63,61 @@ def test_sharded_stark_proof_byte_identical(mesh):
     assert core.R * core.C == 1 << 14
 
 
-def test_sharded_chain_proof_byte_identical(mesh):
+def test_sharded_chain_proof_byte_identical():
     """Chained permutations on the mesh: DISTINCT per-constraint
     zeroifier codewords flow through the sharded combination kernel
     (the fibonacci case ships two identical ones).  Byte-identical to
-    the host prover."""
-    from stark_tpu.models.rescue_chain import RescueChainStark
-    from stark_tpu.parallel import ShardedBackend
+    the host prover.
 
-    seed = 9
-    x = FieldElement(31337)
-    host = RescueChainStark(4, rng=DeterministicRandom(seed))
-    out, host_proof = host.prove(x)
+    Runs in a FRESH subprocess: compiling the chain's sharded
+    combination megakernel in a worker that already holds many files'
+    compiled modules segfaults XLA:CPU (the instability documented in
+    tests/conftest.py — reproduced twice in round-5 full-suite runs,
+    never in isolation).  A fresh interpreter holds only this test's
+    modules and is stable."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
 
-    backend = ShardedBackend(mesh, device_prover_min=1024)
-    sharded = RescueChainStark(
-        4, backend=backend, rng=DeterministicRandom(seed)
+    script = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from stark_tpu.field import FieldElement
+        from stark_tpu.models.rescue_chain import RescueChainStark
+        from stark_tpu.parallel import ShardedBackend, cpu_mesh
+        from stark_tpu.rng import DeterministicRandom
+
+        seed = 9
+        x = FieldElement(31337)
+        host = RescueChainStark(4, rng=DeterministicRandom(seed))
+        out, host_proof = host.prove(x)
+
+        backend = ShardedBackend(cpu_mesh(8), device_prover_min=1024)
+        sharded = RescueChainStark(
+            4, backend=backend, rng=DeterministicRandom(seed)
+        )
+        assert sharded.stark._use_device_pipeline()
+        out2, sharded_proof = sharded.prove(x)
+        assert out2 == out
+        assert sharded_proof == host_proof
+        assert sharded.verify(out2, sharded_proof)
+        print("SHARDED_CHAIN_OK")
+        """
     )
-    assert sharded.stark._use_device_pipeline()
-    out2, sharded_proof = sharded.prove(x)
-    assert out2 == out
-    assert sharded_proof == host_proof
-    assert sharded.verify(out2, sharded_proof)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert out.returncode == 0, (out.stdout + out.stderr)[-3000:]
+    assert "SHARDED_CHAIN_OK" in out.stdout
