@@ -87,3 +87,18 @@ def test_device_tree_rejects_bad_sizes():
     mont = fo.to_mont(jnp.asarray(pack([1, 2, 3, 4])))
     with pytest.raises(ValueError):
         DeviceMerkleTree(mont)
+
+
+def test_bucket_pad_shapes():
+    """Bucket padding pins gather shapes to powers of two >= 8 and pads
+    by repeating the first entry (duplicates are harmless cache
+    overwrites)."""
+    from stark_tpu.ops.device_merkle import _bucket_pad
+
+    assert _bucket_pad([5]) == [5] * 8
+    assert _bucket_pad([1, 2, 3]) == [1, 2, 3] + [1] * 5
+    assert _bucket_pad(list(range(8))) == list(range(8))
+    out = _bucket_pad(list(range(9)))
+    assert len(out) == 16 and out[:9] == list(range(9)) and out[9:] == [0] * 7
+    # already a power of two above the minimum: unchanged
+    assert _bucket_pad(list(range(32))) == list(range(32))
