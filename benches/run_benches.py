@@ -92,9 +92,22 @@ def bench_field():
             vals = [rng.randrange(P) for _ in range(n)]
             arr = fo.to_mont(jax.numpy.asarray(pack(vals)))
             mul = jax.jit(lambda x: fo.mont_mul(x, arr))
-            out[f"device_mul_batch_{n}"] = chain_time(mul, arr, iters=10) / n
+            info_m, info_i = {}, {}
+            out[f"device_mul_batch_{n}"] = (
+                chain_time(mul, arr, iters=10, details=info_m) / n
+            )
             inv = jax.jit(fo.mont_inv)
-            out[f"device_inverse_batch_{n}"] = chain_time(inv, arr, iters=5) / n
+            out[f"device_inverse_batch_{n}"] = (
+                chain_time(inv, arr, iters=5, details=info_i) / n
+            )
+            # calibration provenance (a round-4 run published 0.0 for
+            # the sub-floor mul_batch_1000 row — never again)
+            out[f"device_batch_{n}_timing"] = {
+                "mul_iters": info_m["iters"],
+                "mul_floor_dominated": info_m["floor_dominated"],
+                "inv_iters": info_i["iters"],
+                "inv_floor_dominated": info_i["floor_dominated"],
+            }
     except Exception as exc:  # pragma: no cover
         out["device_error"] = str(exc)
     return out
