@@ -100,3 +100,43 @@ def test_garbage_inputs_rejected(setup):
     for size in [0, 1, 7, 8, 100, 10_000]:
         blob = bytes(rng.randrange(256) for _ in range(size))
         assert not model.verify(output, blob)
+
+
+def test_malformed_path_and_digit_objects_rejected(setup):
+    """Round-5 parser strictness inside a full proof: replace transcript
+    objects with structurally adjacent but invalid encodings (31/33-byte
+    auth-path digests, bool/overflow digits, deep nesting) — clean
+    rejection, never acceptance or a non-ValueError crash."""
+    import json
+
+    model, output, proof = setup
+    objects = ProofStream.deserialize(proof).objects
+    # find an auth path (a JSON list of 32-int lists) and a field element
+    path_idx = next(
+        i for i, o in enumerate(objects)
+        if o.startswith("[[") and '"' not in o
+    )
+    fe_idx = next(
+        i for i, o in enumerate(objects) if o.startswith('{"value"')
+    )
+    path = json.loads(objects[path_idx])
+    bad_objects = {
+        path_idx: [
+            json.dumps([path[0][:31]] + path[1:]),       # short digest
+            json.dumps([path[0] + [0]] + path[1:]),      # long digest
+            json.dumps([[256] * 32] + path[1:]),         # byte overflow
+            "[" * 600 + "]" * 600,                       # nesting bomb
+        ],
+        fe_idx: [
+            '{"value":["Plus",[true]]}',
+            '{"value":["Plus",[4294967296]]}',
+            '{"value":["Plus",5]}',
+        ],
+    }
+    for idx, variants in bad_objects.items():
+        for bad in variants:
+            mutated = list(objects)
+            mutated[idx] = bad
+            assert not model.verify(
+                output, ProofStream(mutated).serialize()
+            )
