@@ -102,3 +102,23 @@ def test_bucket_pad_shapes():
     assert len(out) == 16 and out[:9] == list(range(9)) and out[9:] == [0] * 7
     # already a power of two above the minimum: unchanged
     assert _bucket_pad(list(range(32))) == list(range(32))
+
+
+def test_repeated_partial_gathers_exact_paths():
+    """Round-5 bucketed one-dispatch gathers: overlapping prefetches
+    (second call skips already-cached siblings, producing different
+    bucket shapes and padded duplicates) must still yield auth paths
+    byte-identical to the host tree."""
+    n = 2048
+    rng = np.random.default_rng(21)
+    vals = [int(v) % P for v in rng.integers(0, 1 << 63, n)]
+    mont = fo.to_mont(jnp.asarray(pack(vals)))
+    dtree = DeviceMerkleTree(mont)
+    htree = MerkleTree.from_codeword(vals)
+    first = [3, 100, 1024]
+    second = [3, 100, 101, 512, 2047, 9, 77, 1500]  # overlaps + news
+    dtree.prefetch(first)
+    dtree.prefetch(second)
+    for i in sorted(set(first + second)):
+        assert dtree.open(i) == htree.open(i)
+    assert dtree.root == htree.root
